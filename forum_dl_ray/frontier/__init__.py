@@ -1,0 +1,4 @@
+from .filters import BloomFilter, CuckooFilter
+from .frontier import Frontier, FrontierConfig
+
+__all__ = ["BloomFilter", "CuckooFilter", "Frontier", "FrontierConfig"]

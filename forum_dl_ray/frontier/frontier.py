@@ -1,0 +1,196 @@
+"""Frontier facade: routes offer/poll traffic across the shard pool.
+
+Sharding (SURVEY.md §7.3):
+- seen-set membership is routed by ``url_hash % num_shards`` (uniform),
+- queue entries are routed by ``hash64(host) % num_shards`` so the
+  owning shard holds the host's entire queue, token bucket and robots
+  rules (politeness stays single-source per host even when the fetch
+  stage salts a hot host across workers, SURVEY.md §7.4).
+
+``offer`` is called from INSIDE parse workers (the facade is
+serializable: it carries only actor handles + config), so newly
+discovered URLs flow worker → shard directly without a driver hop.
+The driver only calls ``poll`` to assemble the next wave.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..schemas import FRONTIER_ENTRY
+from ..urlnorm import url_hash64, url_hash64_array
+from .shard import FrontierShard
+
+
+@dataclass
+class FrontierConfig:
+    num_shards: int = 8
+    capacity_per_shard: int = 1_000_000
+    exact: bool = True              # keep the exact side-set (test scale oracle)
+    default_rate: float = float("inf")  # tokens/sec per host; inf = no politeness cap
+    shard_num_cpus: float = 0.25
+
+
+class Frontier:
+    def __init__(self, shards: list[Any], config: FrontierConfig):
+        self.shards = shards
+        self.config = config
+        self.num_shards = len(shards)
+
+    # ------------------------------------------------------------- lifecycle
+    @classmethod
+    def create(cls, config: FrontierConfig | None = None) -> "Frontier":
+        config = config or FrontierConfig()
+        # Shard actors must import this package even when the driver's
+        # cwd is not the repo root (Ray workers resolve module paths via
+        # the driver cwd in local mode) — pin PYTHONPATH explicitly.
+        import os
+
+        repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        runtime_env = {"env_vars": {"PYTHONPATH": repo_root}}
+        shards = [
+            FrontierShard.options(
+                num_cpus=config.shard_num_cpus, runtime_env=runtime_env
+            ).remote(i, config.capacity_per_shard, config.exact, config.default_rate)
+            for i in range(config.num_shards)
+        ]
+        return cls(shards, config)
+
+    def __reduce__(self):
+        return (Frontier, (self.shards, self.config))
+
+    # ----------------------------------------------------------------- offer
+    def offer(self, entries: pa.Table | list[dict[str, Any]]) -> int:
+        """Anti-join + enqueue: dedup URLs against the sharded seen set,
+        then enqueue only the fresh ones into their host-owning shard.
+        Returns the number of fresh entries enqueued."""
+        if isinstance(entries, pa.Table):
+            rows = entries.to_pylist()
+        else:
+            rows = entries
+        if not rows:
+            return 0
+        hashes = np.array([r["url_hash"] for r in rows], dtype=np.int64)
+        urls = [r["url"] for r in rows]
+        # 1) seen anti-join, sharded by url_hash
+        by_shard: dict[int, list[int]] = {}
+        for i, h in enumerate(hashes):
+            by_shard.setdefault(int(h) % self.num_shards, []).append(i)
+        futures = {}
+        for s, idxs in by_shard.items():
+            ii = np.array(idxs, dtype=np.int64)
+            futures[s] = (
+                ii,
+                self.shards[s].seen_offer.remote(hashes[ii], [urls[i] for i in idxs]),
+            )
+        fresh = np.zeros(len(rows), dtype=bool)
+        for s, (ii, fut) in futures.items():
+            fresh[ii] = ray.get(fut)
+        # 2) enqueue fresh entries into the host-owning shard
+        by_host_shard: dict[int, list[dict[str, Any]]] = {}
+        for i in np.nonzero(fresh)[0]:
+            r = rows[i]
+            s = url_hash64(r["host"]) % self.num_shards
+            by_host_shard.setdefault(s, []).append(r)
+        enq = [self.shards[s].enqueue.remote(batch) for s, batch in by_host_shard.items()]
+        return int(sum(ray.get(enq))) if enq else 0
+
+    def mark_failed(self, urls: list[str]) -> None:
+        if not urls:
+            return
+        hashes = url_hash64_array(urls)
+        by_shard: dict[int, list[int]] = {}
+        for i, h in enumerate(hashes):
+            by_shard.setdefault(int(h) % self.num_shards, []).append(i)
+        ray.get(
+            [
+                self.shards[s].mark_failed.remote(hashes[np.array(ii)], [urls[i] for i in ii])
+                for s, ii in by_shard.items()
+            ]
+        )
+
+    # ------------------------------------------------------------------ poll
+    def poll(self, now: float, max_total: int = 4096) -> pa.Table:
+        per_shard = max(1, max_total // self.num_shards)
+        tables = ray.get([s.poll.remote(now, per_shard) for s in self.shards])
+        tables = [t for t in tables if t.num_rows]
+        if not tables:
+            return FRONTIER_ENTRY.empty_table()
+        return pa.concat_tables(tables)
+
+    def pending_count(self) -> int:
+        return int(sum(ray.get([s.pending_count.remote() for s in self.shards])))
+
+    # -------------------------------------------------------------- policies
+    def set_host_policy(self, host: str, rate: float, burst: float | None = None) -> None:
+        s = url_hash64(host) % self.num_shards
+        ray.get(self.shards[s].set_host_policy.remote(host, rate, burst))
+
+    def set_robots(self, host: str, disallow: list[str]) -> None:
+        s = url_hash64(host) % self.num_shards
+        ray.get(self.shards[s].set_robots.remote(host, disallow))
+
+    # ----------------------------------------------------- oracle/checkpoint
+    def seen_table(self) -> pa.Table:
+        """Exact seen set (url_hash, url, failed) across shards — the
+        golden-oracle comparison surface (test scale only)."""
+        return pa.concat_tables(ray.get([s.seen_table.remote() for s in self.shards]))
+
+    def counters(self) -> dict[str, int]:
+        per = ray.get([s.counters.remote() for s in self.shards])
+        out: dict[str, int] = {}
+        for c in per:
+            for k, v in c.items():
+                out[k] = out.get(k, 0) + v
+        return out
+
+    def snapshot(self, path: str) -> None:
+        """Checkpoint every shard to ``path/shard=K/`` (parquet + filter
+        bytes) — per-partition, so restore parallelizes and a partial
+        checkpoint is detectable by missing shard dirs."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        snaps = ray.get([s.snapshot.remote() for s in self.shards])
+        for snap in snaps:
+            d = os.path.join(path, f"shard={snap['shard_id']}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(snap["pending"], os.path.join(d, "pending.parquet"))
+            pq.write_table(snap["seen"], os.path.join(d, "seen.parquet"))
+            with open(os.path.join(d, "filters.bin"), "wb") as f:
+                bloom = snap["bloom"]
+                f.write(len(bloom).to_bytes(8, "little"))
+                f.write(bloom)
+                f.write(snap["cuckoo"])
+            with open(os.path.join(d, "meta.json"), "w") as f:
+                f.write(snap["meta"])
+
+    def restore(self, path: str) -> None:
+        import os
+
+        import pyarrow.parquet as pq
+
+        futs = []
+        for i, shard in enumerate(self.shards):
+            d = os.path.join(path, f"shard={i}")
+            with open(os.path.join(d, "filters.bin"), "rb") as f:
+                n = int.from_bytes(f.read(8), "little")
+                bloom = f.read(n)
+                cuckoo = f.read()
+            snap = {
+                "shard_id": i,
+                "bloom": bloom,
+                "cuckoo": cuckoo,
+                "pending": pq.read_table(os.path.join(d, "pending.parquet")),
+                "seen": pq.read_table(os.path.join(d, "seen.parquet")),
+                "meta": open(os.path.join(d, "meta.json")).read(),
+            }
+            futs.append(shard.restore.remote(snap))
+        ray.get(futs)

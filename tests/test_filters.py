@@ -1,0 +1,58 @@
+import numpy as np
+import pytest
+
+from forum_dl_ray.frontier.filters import BloomFilter, CuckooFilter
+
+
+@pytest.fixture
+def keys():
+    rng = np.random.default_rng(7)
+    return rng.integers(-(2**62), 2**62, size=20_000, dtype=np.int64)
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(keys):
+    bf = BloomFilter(capacity=len(keys), fp_rate=0.01)
+    bf.add_many(keys)
+    assert bf.contains_many(keys).all()
+    rng = np.random.default_rng(8)
+    others = rng.integers(-(2**62), 2**62, size=50_000, dtype=np.int64)
+    others = np.setdiff1d(others, keys)
+    fp = bf.contains_many(others).mean()
+    assert fp < 0.03
+
+
+def test_bloom_roundtrip(keys):
+    bf = BloomFilter(capacity=len(keys))
+    bf.add_many(keys)
+    bf2 = BloomFilter.from_bytes(bf.to_bytes())
+    assert bf2.contains_many(keys).all()
+    assert bf2.m_bits == bf.m_bits and bf2.k == bf.k
+
+
+def test_cuckoo_insert_lookup_delete(keys):
+    cf = CuckooFilter(capacity=len(keys))
+    cf.insert_many(keys)
+    assert cf.contains_many(keys).all()
+    rng = np.random.default_rng(9)
+    others = np.setdiff1d(rng.integers(-(2**62), 2**62, size=50_000, dtype=np.int64), keys)
+    fp = cf.contains_many(others).mean()
+    assert fp < 0.002  # 16-bit fingerprints, 2 buckets x 4 slots -> ~1.2e-4
+    # delete first 100 then they're (mostly) gone; others still present
+    for k in keys[:100]:
+        assert cf.delete(int(k))
+    assert cf.contains_many(keys[100:]).all()
+
+
+def test_cuckoo_roundtrip(keys):
+    cf = CuckooFilter(capacity=len(keys))
+    cf.insert_many(keys)
+    cf2 = CuckooFilter.from_bytes(cf.to_bytes())
+    assert cf2.contains_many(keys).all()
+    assert cf2.n_items == cf.n_items
+
+
+def test_cuckoo_load_factor_headroom():
+    cf = CuckooFilter(capacity=10_000)
+    rng = np.random.default_rng(10)
+    cf.insert_many(rng.integers(-(2**62), 2**62, size=10_000, dtype=np.int64))
+    assert cf.load_factor < 0.96
