@@ -1,0 +1,111 @@
+"""Generic HTML forum engine (the reference's ``HtmlExtractor`` shape).
+
+The reference's minimal HTML engine is 4 CSS selectors + 2 row-extract
+methods (/root/reference/forum_dl/extractors/common.py:404-478, e.g.
+invision.py:75-78). Here the same contract is expressed as pure
+functions over page bytes with compiled regexes (this container has no
+bs4/lxml; the fixture HTML is attribute-ordered, making regex kernels
+exact — a DOM-based adapter drops in behind the same function
+signatures for arbitrary engines).
+
+Selector analogs:
+  _board_item_css   -> BOARD_ITEM_RE
+  _board_next_page_css / _thread_next_page_css -> NEXT_RE
+  _thread_item_css  -> THREAD_ITEM_RE
+  post row extract  -> POST_RE (+ IMG_RE for embeds, common.py:480-569)
+
+All URLs are canonicalized with keep_queries=("page",) so pagination
+cursors survive normalization (common.py:35-62 semantics).
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urljoin
+
+from ..urlnorm import normalize_url
+
+MARKER = b'<meta name="generator" content="synthforum/1.0">'
+
+BOARD_ITEM_RE = re.compile(r'<div class="board-item"><a href="([^"]+)">([^<]*)</a></div>')
+THREAD_ITEM_RE = re.compile(r'<div class="thread-item"><a href="([^"]+)">([^<]*)</a></div>')
+NEXT_RE = re.compile(r'<a class="next" href="([^"]+)">')
+TITLE_RE = re.compile(r"<title>([^<]*)</title>")
+CRUMB_RE = re.compile(r'<nav class="crumbs">(.*?)</nav>', re.S)
+CRUMB_LINK_RE = re.compile(r'<a href="([^"]+)">([^<]*)</a>')
+POST_RE = re.compile(
+    r'<div class="post" id="([^"]+)" data-author="([^"]*)" data-time="([^"]*)"'
+    r' data-indent="(\d+)">\s*<div class="content">(.*?)</div>\s*</div>',
+    re.S,
+)
+IMG_RE = re.compile(r'<img src="([^"]+)" alt="([^"]*)">')
+
+KEEP_QUERIES = ("page",)
+
+
+def canon(href: str, base_url: str) -> str:
+    return normalize_url(urljoin(base_url, href), keep_queries=KEEP_QUERIES)
+
+
+def detect(url: str, body: bytes) -> bool:
+    return MARKER in body[:4096]
+
+
+def page_title(body: bytes) -> str:
+    m = TITLE_RE.search(body.decode("utf-8", "replace"))
+    return m.group(1) if m else ""
+
+
+def parse_board_page(body: bytes, page_url: str) -> dict:
+    """Board page → subboard links, thread links, next-page cursor.
+
+    Mirrors the reference's board-page walk (common.py:410-436): select
+    item rows, extract (url, title) per row, then the next-page link.
+    """
+    text = body.decode("utf-8", "replace")
+    subboards = [(canon(h, page_url), t) for h, t in BOARD_ITEM_RE.findall(text)]
+    threads = [(canon(h, page_url), t) for h, t in THREAD_ITEM_RE.findall(text)]
+    m = NEXT_RE.search(text)
+    next_url = canon(m.group(1), page_url) if m else None
+    return {
+        "title": page_title(body),
+        "subboards": subboards,
+        "threads": threads,
+        "next_url": next_url,
+    }
+
+
+def parse_thread_page(body: bytes, page_url: str) -> dict:
+    """Thread page → post rows (+ their embeds) and next-page cursor.
+
+    Mirrors common.py:438-478: select post rows, per-row field
+    extraction (id/author/time/indent/content), then re-parse each post
+    body for embedded files (common.py:480-569 — here <img> only; the
+    fixture site embeds images exclusively).
+    """
+    text = body.decode("utf-8", "replace")
+    posts = []
+    for pid, author, time_iso, indent, content in POST_RE.findall(text):
+        images = [(canon(src, page_url), alt) for src, alt in IMG_RE.findall(content)]
+        posts.append(
+            {
+                "pid": pid,
+                "author": author,
+                "time_iso": time_iso,
+                "indent": int(indent),
+                "content": content.strip(),
+                "images": images,
+            }
+        )
+    m = NEXT_RE.search(text)
+    next_url = canon(m.group(1), page_url) if m else None
+    return {"title": page_title(body), "posts": posts, "next_url": next_url}
+
+
+def parse_crumbs(body: bytes, page_url: str) -> list[tuple[str, str]]:
+    """Breadcrumb (url, title) list — the lookup key stream for the
+    broadcast board-tree join J2 (common.py:273-289)."""
+    m = CRUMB_RE.search(body.decode("utf-8", "replace"))
+    if not m:
+        return []
+    return [(canon(h, page_url), t) for h, t in CRUMB_LINK_RE.findall(m.group(1))]

@@ -1,0 +1,10 @@
+from .synth import SiteSpec, FixtureSpec, generate_fixture, micro_spec, small_spec, bench_spec
+
+__all__ = [
+    "SiteSpec",
+    "FixtureSpec",
+    "generate_fixture",
+    "micro_spec",
+    "small_spec",
+    "bench_spec",
+]

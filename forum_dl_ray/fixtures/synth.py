@@ -1,0 +1,410 @@
+"""Deterministic synthetic forum fixture generator (FIXTURES.md F1-F3).
+
+Replaces the reference's live-site test inputs
+(/root/reference/forum_dl/tests/test_extractors.py — live network)
+with seeded tables: a `pages` table (one row per fetchable URL — the
+fetch stage resolves against it instead of HTTP), an `images` payload
+table in the authoritative BASELINE.json input_hint shape, and a
+`seeds` table of crawl entry points. Same seed → byte-identical
+output; no wall-clock anywhere.
+
+The hot-host requirement (FIXTURES.md F1: one host owns >= 50% of
+URLs, exercising poll-side politeness + fetch-side salting) is met by
+`small_spec`/`bench_spec` giving one site a large multiple of the
+others' page counts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..images import encode_image, phash64, synth_pixels
+from ..schemas import IMAGES, PAGE
+from ..urlnorm import normalize_url
+
+_EPOCH = datetime(2020, 1, 1, 0, 0, 0)
+
+_ADJ = ["amber", "brisk", "calm", "dusty", "eager", "faded", "grand", "hazy", "ivory", "jolly"]
+_NOUN = ["otter", "violin", "comet", "lantern", "meadow", "harbor", "biscuit", "glacier", "sparrow", "anvil"]
+_VERB = ["drifts", "hums", "sparkles", "wanders", "settles", "echoes", "glows", "tumbles"]
+
+MARKER = '<meta name="generator" content="synthforum/1.0">'
+
+
+@dataclass
+class SiteSpec:
+    host: str
+    engine: str = "html-generic"
+    n_top_boards: int = 2
+    sub_levels: int = 1           # levels of subboards below top boards
+    subboards_per_board: int = 1
+    threads_per_board: int = 3
+    threads_per_page: int = 2
+    posts_per_thread: int = 5
+    posts_per_page: int = 3
+    image_rate: float = 0.3       # fraction of posts embedding one image
+    fail_rate: float = 0.0        # fraction of thread pages >= 2 returning 500
+    seed: int = 42
+
+
+@dataclass
+class FixtureSpec:
+    sites: list[SiteSpec] = field(default_factory=list)
+    name: str = "fixture"
+
+    def digest(self) -> str:
+        blob = json.dumps([vars(s) for s in self.sites], sort_keys=True).encode()
+        return hashlib.blake2b(blob, digest_size=8).hexdigest()
+
+
+def _sentence(rng: np.random.Generator, pid: str) -> str:
+    a = _ADJ[int(rng.integers(len(_ADJ)))]
+    n = _NOUN[int(rng.integers(len(_NOUN)))]
+    v = _VERB[int(rng.integers(len(_VERB)))]
+    n2 = _NOUN[int(rng.integers(len(_NOUN)))]
+    return f"The {a} {n} {v} over the {n2} in post {pid}."
+
+
+def _caption(rng: np.random.Generator, image_id: str) -> str:
+    a = _ADJ[int(rng.integers(len(_ADJ)))]
+    n = _NOUN[int(rng.integers(len(_NOUN)))]
+    return f"A synthetic {a} {n} labeled {image_id}"
+
+
+class _SiteBuilder:
+    """Builds one html-generic site: page rows + image rows."""
+
+    def __init__(self, spec: SiteSpec):
+        self.spec = spec
+        self.rng = np.random.default_rng(spec.seed + hash_host(spec.host))
+        self.base = f"http://{spec.host}"
+        self.pages: list[dict] = []
+        self.images: list[dict] = []
+        self.thread_counter = 0
+        self.post_counter = 0
+        self.image_counter = 0
+        self.host_tag = spec.host.split(".")[0]
+
+    # ---------------------------------------------------------------- URLs
+    def board_url(self, bid: str, page: int) -> str:
+        if page == 1:
+            return normalize_url(f"{self.base}/board/{bid}")
+        return normalize_url(f"{self.base}/board/{bid}?page={page}", keep_queries=("page",))
+
+    def thread_url(self, tid: str, page: int) -> str:
+        if page == 1:
+            return normalize_url(f"{self.base}/thread/{tid}")
+        return normalize_url(f"{self.base}/thread/{tid}?page={page}", keep_queries=("page",))
+
+    # ---------------------------------------------------------------- HTML
+    def _head(self, title: str) -> str:
+        return f"<html><head>{MARKER}<title>{title}</title></head><body>"
+
+    def _crumbs(self, path_urls: list[tuple[str, str]]) -> str:
+        links = "".join(f'<a href="{h}">{t}</a>' for h, t in path_urls)
+        return f'<nav class="crumbs">{links}</nav>'
+
+    def build(self) -> None:
+        spec = self.spec
+        # board tree: ids assigned depth-first
+        board_n = 0
+
+        def make_board(level: int) -> dict:
+            nonlocal board_n
+            board_n += 1
+            bid = f"b{board_n}"
+            children = []
+            if level < spec.sub_levels:
+                children = [make_board(level + 1) for _ in range(spec.subboards_per_board)]
+            return {"bid": bid, "title": f"Board {bid} of {self.host_tag}", "children": children}
+
+        top_boards = [make_board(0) for _ in range(spec.n_top_boards)]
+
+        # index page
+        items = "".join(
+            f'<div class="board-item"><a href="/board/{b["bid"]}">{b["title"]}</a></div>'
+            for b in top_boards
+        )
+        index_html = (
+            self._head(f"Site {self.host_tag}")
+            + self._crumbs([("/", f"Site {self.host_tag}")])
+            + items
+            + "</body></html>"
+        )
+        self._add_page(normalize_url(self.base), "board_index", index_html.encode())
+
+        crumb_root = [("/", f"Site {self.host_tag}")]
+        for b in top_boards:
+            self._build_board(b, crumb_root)
+
+    def _build_board(self, board: dict, crumbs: list[tuple[str, str]]) -> None:
+        spec = self.spec
+        bid, title = board["bid"], board["title"]
+        my_crumbs = crumbs + [(f"/board/{bid}", title)]
+
+        threads = []
+        for _ in range(spec.threads_per_board):
+            self.thread_counter += 1
+            tid = f"t{self.thread_counter}"
+            threads.append({"tid": tid, "title": f"Thread {tid}: {_sentence(self.rng, tid)[:40]}"})
+
+        n_pages = max(1, -(-len(threads) // spec.threads_per_page))
+        for page in range(1, n_pages + 1):
+            chunk = threads[(page - 1) * spec.threads_per_page : page * spec.threads_per_page]
+            body = self._head(title) + self._crumbs(my_crumbs)
+            if page == 1:
+                body += "".join(
+                    f'<div class="board-item"><a href="/board/{c["bid"]}">{c["title"]}</a></div>'
+                    for c in board["children"]
+                )
+            body += "".join(
+                f'<div class="thread-item"><a href="/thread/{t["tid"]}">{t["title"]}</a></div>'
+                for t in chunk
+            )
+            next_url = None
+            if page < n_pages:
+                body += f'<a class="next" href="/board/{bid}?page={page + 1}">Next</a>'
+                next_url = self.board_url(bid, page + 1)
+            body += "</body></html>"
+            self._add_page(self.board_url(bid, page), "board_page", body.encode(), next_url=next_url)
+
+        for t in threads:
+            self._build_thread(t, my_crumbs)
+        for c in board["children"]:
+            self._build_board(c, my_crumbs)
+
+    def _build_thread(self, thread: dict, crumbs: list[tuple[str, str]]) -> None:
+        spec = self.spec
+        tid, title = thread["tid"], thread["title"]
+        posts = []
+        indent = 0
+        for _ in range(spec.posts_per_thread):
+            self.post_counter += 1
+            pid = f"p{self.post_counter}"
+            t_iso = (_EPOCH + timedelta(minutes=self.post_counter)).isoformat()
+            content = f"<p>{_sentence(self.rng, pid)}</p>"
+            if self.rng.random() < spec.image_rate:
+                self.image_counter += 1
+                fmt = "png" if self.image_counter % 2 == 0 else "jpeg"
+                image_id = f"{self.host_tag}-im{self.image_counter:05d}"
+                caption = _caption(self.rng, image_id)
+                w = int(self.rng.integers(24, 64))
+                h = int(self.rng.integers(24, 64))
+                self._add_image(image_id, fmt, w, h, caption)
+                content += f'<img src="/img/{image_id}.{fmt}" alt="{caption}">'
+            author = f"user{int(self.rng.integers(1, 20))}@{self.host_tag}"
+            posts.append(
+                {"pid": pid, "author": author, "time": t_iso, "indent": indent, "content": content}
+            )
+            # deterministic reply-tree walk: down max 1, up to 2, cap 4
+            delta = int(self.rng.integers(-2, 2))
+            indent = min(4, max(0, indent + delta))
+
+        n_pages = max(1, -(-len(posts) // spec.posts_per_page))
+        for page in range(1, n_pages + 1):
+            chunk = posts[(page - 1) * spec.posts_per_page : page * spec.posts_per_page]
+            body = self._head(title) + self._crumbs(crumbs + [(f"/thread/{tid}", title)])
+            for p in chunk:
+                body += (
+                    f'<div class="post" id="{p["pid"]}" data-author="{p["author"]}"'
+                    f' data-time="{p["time"]}" data-indent="{p["indent"]}">'
+                    f'<div class="content">{p["content"]}</div></div>'
+                )
+            next_url = None
+            if page < n_pages:
+                body += f'<a class="next" href="/thread/{tid}?page={page + 1}">Next</a>'
+                next_url = self.thread_url(tid, page + 1)
+            body += "</body></html>"
+            status = 200
+            if page >= 2 and self.rng.random() < spec.fail_rate:
+                status = 500
+            self._add_page(
+                self.thread_url(tid, page),
+                "thread_page",
+                body.encode() if status == 200 else b"",
+                status=status,
+                next_url=next_url,
+            )
+
+    def _add_image(self, image_id: str, fmt: str, w: int, h: int, caption: str) -> None:
+        px = synth_pixels(image_id, w, h)
+        data = encode_image(px, fmt)
+        self.images.append(
+            {
+                "image_id": image_id,
+                "bytes": data,
+                "w": w,
+                "h": h,
+                "fmt": fmt,
+                "caption": caption,
+                "phash": phash64(px),
+            }
+        )
+        self._add_page(
+            normalize_url(f"{self.base}/img/{image_id}.{fmt}"),
+            "asset",
+            data,
+            content_type=f"image/{fmt}",
+        )
+
+    def _add_page(
+        self,
+        url: str,
+        kind: str,
+        body: bytes,
+        status: int = 200,
+        content_type: str = "text/html",
+        next_url: str | None = None,
+    ) -> None:
+        self.pages.append(
+            {
+                "url": url,
+                "host": self.spec.host,
+                "kind": kind,
+                "engine": self.spec.engine,
+                "body": body,
+                "content_type": content_type,
+                "status": status,
+                "next_url": next_url,
+            }
+        )
+
+
+def hash_host(host: str) -> int:
+    return int.from_bytes(hashlib.blake2b(host.encode(), digest_size=4).digest(), "little")
+
+
+def build_site(spec: SiteSpec) -> tuple[list[dict], list[dict]]:
+    if spec.engine == "html-generic":
+        b = _SiteBuilder(spec)
+        b.build()
+        return b.pages, b.images
+    if spec.engine == "json-stream":
+        from .synth_json import build_json_stream_site
+
+        return build_json_stream_site(spec)
+    if spec.engine == "json-registry":
+        from .synth_json import build_json_registry_site
+
+        return build_json_registry_site(spec)
+    raise ValueError(f"unknown engine {spec.engine}")
+
+
+def generate_fixture(spec: FixtureSpec, out_dir: str | None = None, force: bool = False) -> str:
+    """Generate (or reuse cached) fixture parquet under out_dir.
+
+    Layout: pages.parquet (PAGE schema), images.parquet (IMAGES
+    schema), seeds.json. Cached by spec digest — regeneration with the
+    same spec is a no-op (byte-determinism is tested).
+    """
+    out_dir = out_dir or os.path.join(
+        "/tmp", "fdr_fixtures", f"{spec.name}-{spec.digest()}"
+    )
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done) and not force:
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    all_pages: list[dict] = []
+    all_images: list[dict] = []
+    seeds = []
+    for site in spec.sites:
+        pages, images = build_site(site)
+        all_pages.extend(pages)
+        all_images.extend(images)
+        seed_url = (
+            f"http://{site.host}/index.php"
+            if site.engine == "html-generic"
+            else f"http://{site.host}/api/index.json"
+            if site.engine == "json-stream"
+            else f"http://{site.host}/v0/maxitem.json"
+        )
+        seeds.append(
+            {
+                "seed_url": seed_url,
+                "engine": site.engine,
+                "base_url": f"http://{site.host}/",
+                "host": site.host,
+                "politeness_budget": 0.0,  # 0 = unlimited in tests; bench overrides
+            }
+        )
+
+    pages_t = pa.table(
+        {name: [p[name] for p in all_pages] for name in [f.name for f in PAGE]}, schema=PAGE
+    )
+    images_t = pa.table(
+        {name: [i[name] for i in all_images] for name in [f.name for f in IMAGES]}, schema=IMAGES
+    )
+    pq.write_table(pages_t, os.path.join(out_dir, "pages.parquet"))
+    pq.write_table(images_t, os.path.join(out_dir, "images.parquet"))
+    with open(os.path.join(out_dir, "seeds.json"), "w") as f:
+        json.dump(seeds, f, indent=1)
+    with open(done, "w") as f:
+        f.write(spec.digest())
+    return out_dir
+
+
+# ------------------------------------------------------------------- presets
+def micro_spec() -> FixtureSpec:
+    """~10^2 URLs, 2 sites — smoke/t1 scale, hand-checkable."""
+    return FixtureSpec(
+        name="micro",
+        sites=[
+            SiteSpec(host="alpha.test", n_top_boards=2, sub_levels=1, subboards_per_board=1,
+                     threads_per_board=2, threads_per_page=2, posts_per_thread=4,
+                     posts_per_page=3, image_rate=0.4, fail_rate=0.0, seed=42),
+            SiteSpec(host="beta.test", n_top_boards=1, sub_levels=0,
+                     threads_per_board=3, threads_per_page=2, posts_per_thread=5,
+                     posts_per_page=2, image_rate=0.3, fail_rate=0.2, seed=43),
+        ],
+    )
+
+
+def small_spec() -> FixtureSpec:
+    """~5-6k URLs, 4 hosts, one hot host with >= 50% of URLs."""
+    return FixtureSpec(
+        name="small",
+        sites=[
+            SiteSpec(host="hot.delta.test", n_top_boards=8, sub_levels=1, subboards_per_board=2,
+                     threads_per_board=15, threads_per_page=5, posts_per_thread=16,
+                     posts_per_page=5, image_rate=0.25, fail_rate=0.03, seed=44),
+            SiteSpec(host="alpha.test", n_top_boards=3, sub_levels=1, subboards_per_board=1,
+                     threads_per_board=8, threads_per_page=5, posts_per_thread=8,
+                     posts_per_page=5, image_rate=0.25, fail_rate=0.02, seed=45),
+            SiteSpec(host="beta.test", n_top_boards=2, sub_levels=1, subboards_per_board=2,
+                     threads_per_board=6, threads_per_page=4, posts_per_thread=8,
+                     posts_per_page=5, image_rate=0.2, fail_rate=0.02, seed=46),
+            SiteSpec(host="gamma.test", n_top_boards=2, sub_levels=0,
+                     threads_per_board=10, threads_per_page=5, posts_per_thread=6,
+                     posts_per_page=4, image_rate=0.2, fail_rate=0.0, seed=47),
+        ],
+    )
+
+
+def bench_spec() -> FixtureSpec:
+    """~5x10^4 URLs for throughput runs (FIXTURES.md F1 sizing)."""
+    return FixtureSpec(
+        name="bench",
+        sites=[
+            SiteSpec(host="hot.delta.test", n_top_boards=10, sub_levels=1, subboards_per_board=3,
+                     threads_per_board=55, threads_per_page=20, posts_per_thread=40,
+                     posts_per_page=20, image_rate=0.15, fail_rate=0.02, seed=50),
+            SiteSpec(host="alpha.test", n_top_boards=8, sub_levels=1, subboards_per_board=2,
+                     threads_per_board=30, threads_per_page=15, posts_per_thread=30,
+                     posts_per_page=15, image_rate=0.1, fail_rate=0.02, seed=51),
+            SiteSpec(host="beta.test", n_top_boards=6, sub_levels=1, subboards_per_board=2,
+                     threads_per_board=25, threads_per_page=15, posts_per_thread=25,
+                     posts_per_page=15, image_rate=0.1, fail_rate=0.01, seed=52),
+            SiteSpec(host="gamma.test", n_top_boards=5, sub_levels=0,
+                     threads_per_board=30, threads_per_page=15, posts_per_thread=20,
+                     posts_per_page=12, image_rate=0.1, fail_rate=0.0, seed=53),
+        ],
+    )
