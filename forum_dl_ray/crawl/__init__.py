@@ -1,0 +1,3 @@
+from .crawler import CrawlConfig, Crawler, crawl_fixture
+
+__all__ = ["CrawlConfig", "Crawler", "crawl_fixture"]

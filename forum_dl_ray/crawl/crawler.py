@@ -1,0 +1,262 @@
+"""Wave-based crawl scheduler: frontier → fetch → parse → offer loop.
+
+Replaces the reference's single-threaded generator stack (forumdl.py:
+23-48 sequential per-URL loop) with the wave design of SURVEY.md §7.2
+step 4: the driver drains frontier polls into a small Dataset per
+wave; fetch and parse run as streaming ``map_batches`` stages over
+Arrow batches; newly discovered URLs are offered back to the frontier
+from inside the parse workers; the loop ends when the frontier drains.
+
+Pagination chains are inherently sequential (cursor k+1 is only known
+after parsing page k, common.py:334-346) — each chain advances one
+page per wave, and throughput comes from breadth across
+boards/threads/hosts (SURVEY.md §2.6.2), so a wave's Dataset is wide
+at 100 TB scale even though it is small in the test fixture.
+
+Scale notes:
+- wave tables are sliced into ~`target_tasks` blocks after a
+  deterministic hash permutation — this is the hot-host SALTING for
+  the fetch stage (spreads one host's URLs across workers) while the
+  politeness budget stays single-source in the host-owning frontier
+  shard (SURVEY.md §7.4).
+- outputs are partitioned per wave (``entries/wave=N/``,
+  ``images/wave=N/``) with ``_DONE`` markers → a failed run deletes
+  unfinished partitions and resumes from the last frontier checkpoint.
+- entry rows never visit the driver: parse writes straight to
+  parquet via the Dataset sink; only poll tables (URLs + cursors) do.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from ..frontier import Frontier, FrontierConfig
+from ..schemas import order_key
+from ..urlnorm import host_of, normalize_url, url_hash64
+from .assets import asset_batch
+from .fetch import fetch_batch
+from .parse import parse_batch
+
+# Workers must import this package regardless of the driver's cwd
+# (Ray local mode resolves module paths via driver cwd; see
+# .claude/skills/verify/SKILL.md gotcha). One dedicated worker pool
+# keyed by this env hash is reused across all waves.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_STAGE_RUNTIME_ENV = {"env_vars": {"PYTHONPATH": _REPO_ROOT}}
+
+
+@dataclass
+class CrawlConfig:
+    num_shards: int = 4
+    wave_size: int = 8192
+    target_tasks: int = 8          # fetch/parse blocks per wave
+    fetch_batch_size: int = 512
+    parse_batch_size: int = 512
+    asset_batch_size: int = 64     # wide binary rows -> small batches
+    default_rate: float = float("inf")
+    host_rates: dict = field(default_factory=dict)
+    robots: dict = field(default_factory=dict)  # host -> [disallow prefixes]
+    checkpoint_every: int = 0      # waves; 0 = disabled
+    flaky_rate: float = 0.0
+    max_waves: int = 100_000
+    capacity_per_shard: int = 1_000_000
+
+
+class Crawler:
+    def __init__(self, fixture_dir: str, out_dir: str, config: CrawlConfig | None = None):
+        self.fixture_dir = fixture_dir
+        self.pages_path = os.path.join(fixture_dir, "pages.parquet")
+        self.seeds = json.load(open(os.path.join(fixture_dir, "seeds.json")))
+        self.out_dir = out_dir
+        self.config = config or CrawlConfig()
+        self.entries_dir = os.path.join(out_dir, "entries")
+        self.images_dir = os.path.join(out_dir, "images")
+        self.ckpt_dir = os.path.join(out_dir, "checkpoints")
+
+    # ---------------------------------------------------------------- seeds
+    def seed_entries(self) -> list[dict]:
+        rows = []
+        for s_idx, seed in enumerate(self.seeds):
+            url = normalize_url(seed["seed_url"])
+            rows.append(
+                {
+                    "url": url,
+                    "url_hash": url_hash64(url),
+                    "host": host_of(url),
+                    "engine": seed["engine"],
+                    "kind": "seed",
+                    "depth": 0,
+                    "seq": s_idx,
+                    "order_key": order_key(s_idx),
+                    "path": "[]",
+                    "title": "",
+                    "cursor": "{}",
+                }
+            )
+        return rows
+
+    # ------------------------------------------------------------- run loop
+    def run(self, resume: bool = False) -> dict:
+        cfg = self.config
+        frontier = Frontier.create(
+            FrontierConfig(
+                num_shards=cfg.num_shards,
+                capacity_per_shard=cfg.capacity_per_shard,
+                default_rate=cfg.default_rate,
+            )
+        )
+        for host, rate in cfg.host_rates.items():
+            frontier.set_host_policy(host, rate)
+        for host, dis in cfg.robots.items():
+            frontier.set_robots(host, dis)
+
+        wave = 0
+        if resume:
+            wave = self._resume(frontier)
+        else:
+            for d in (self.entries_dir, self.images_dir, self.ckpt_dir):
+                shutil.rmtree(d, ignore_errors=True)
+            frontier.offer(self.seed_entries())
+
+        fetch = functools.partial(
+            fetch_batch, pages_path=self.pages_path, frontier=frontier,
+            flaky_rate=cfg.flaky_rate,
+        )
+        t_start = time.perf_counter()
+        n_fetched = 0
+        while wave < cfg.max_waves:
+            t = frontier.poll(now=time.monotonic(), max_total=cfg.wave_size)
+            if t.num_rows == 0:
+                if frontier.pending_count() == 0:
+                    break
+                time.sleep(0.02)  # politeness tokens refilling
+                continue
+            n_fetched += t.num_rows
+            # hash permutation = hot-host salting across fetch tasks
+            perm = np.argsort(np.array(t["url_hash"].to_pylist(), dtype=np.int64), kind="stable")
+            t = t.take(perm)
+            is_asset = pc.equal(t["kind"], "asset")
+            pages_t = t.filter(pc.invert(is_asset))
+            assets_t = t.filter(is_asset)
+
+            if pages_t.num_rows:
+                ds = rd.from_arrow(_slices(pages_t, cfg.target_tasks))
+                out = ds.map_batches(
+                    fetch, batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
+                    runtime_env=_STAGE_RUNTIME_ENV,
+                ).map_batches(
+                    functools.partial(parse_batch, frontier=frontier, wave=wave),
+                    batch_format="pyarrow", batch_size=cfg.parse_batch_size,
+                    runtime_env=_STAGE_RUNTIME_ENV,
+                )
+                self._write_wave(out, self.entries_dir, wave)
+            if assets_t.num_rows:
+                ds = rd.from_arrow(_slices(assets_t, cfg.target_tasks))
+                out = ds.map_batches(
+                    fetch, batch_format="pyarrow", batch_size=cfg.asset_batch_size,
+                    runtime_env=_STAGE_RUNTIME_ENV,
+                ).map_batches(
+                    asset_batch, batch_format="pyarrow", batch_size=cfg.asset_batch_size,
+                    runtime_env=_STAGE_RUNTIME_ENV,
+                )
+                self._write_wave(out, self.images_dir, wave)
+
+            if cfg.checkpoint_every and (wave + 1) % cfg.checkpoint_every == 0:
+                self._checkpoint(frontier, wave)
+            wave += 1
+
+        elapsed = time.perf_counter() - t_start
+        # final seen set -> the golden-oracle comparison surface
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.out_dir, exist_ok=True)
+        pq.write_table(frontier.seen_table(), os.path.join(self.out_dir, "seen.parquet"))
+        counters = frontier.counters()
+        stats = {
+            "waves": wave,
+            "elapsed_sec": elapsed,
+            "urls_fetched": n_fetched,
+            "urls_per_sec": n_fetched / elapsed if elapsed > 0 else 0.0,
+            **counters,
+        }
+        with open(os.path.join(self.out_dir, "stats.json"), "w") as f:
+            json.dump(stats, f, indent=1)
+        return stats
+
+    # ------------------------------------------------------------- helpers
+    def _write_wave(self, ds: rd.Dataset, root: str, wave: int) -> None:
+        d = os.path.join(root, f"wave={wave}")
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        ds.write_parquet(d)
+        with open(os.path.join(d, "_DONE"), "w") as f:
+            f.write("ok")
+
+    def _checkpoint(self, frontier: Frontier, wave: int) -> None:
+        d = os.path.join(self.ckpt_dir, f"wave={wave}")
+        shutil.rmtree(d, ignore_errors=True)
+        frontier.snapshot(d)
+        with open(os.path.join(d, "_DONE"), "w") as f:
+            f.write("ok")
+        with open(os.path.join(self.ckpt_dir, "LATEST"), "w") as f:
+            f.write(str(wave))
+
+    def _resume(self, frontier: Frontier) -> int:
+        latest_path = os.path.join(self.ckpt_dir, "LATEST")
+        if not os.path.exists(latest_path):
+            raise FileNotFoundError(f"no checkpoint under {self.ckpt_dir}")
+        ckpt_wave = int(open(latest_path).read().strip())
+        frontier.restore(os.path.join(self.ckpt_dir, f"wave={ckpt_wave}"))
+        # drop output partitions newer than (or concurrent with) the
+        # checkpoint, plus any wave dir without a _DONE marker
+        for root in (self.entries_dir, self.images_dir):
+            if not os.path.isdir(root):
+                continue
+            for name in os.listdir(root):
+                if not name.startswith("wave="):
+                    continue
+                w = int(name.split("=")[1])
+                if w > ckpt_wave or not os.path.exists(os.path.join(root, name, "_DONE")):
+                    shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+        return ckpt_wave + 1
+
+
+def _slices(t, n_slices: int):
+    """Split an arrow table into ~n equal slices (one Dataset block each)."""
+    n = t.num_rows
+    n_slices = max(1, min(n_slices, n))
+    chunk = -(-n // n_slices)
+    return [t.slice(i, chunk) for i in range(0, n, chunk)]
+
+
+def crawl_fixture(fixture_dir: str, out_dir: str, config: CrawlConfig | None = None,
+                  resume: bool = False) -> dict:
+    return Crawler(fixture_dir, out_dir, config).run(resume=resume)
+
+
+# ------------------------------------------------------- result accessors
+def entries_dataset(out_dir: str) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(out_dir, "entries"))
+
+
+def ordered_items(out_dir: str):
+    """Item entries sorted by emission order key — the reference-order
+    reconstruction (A2 oracle surface). Returns a sorted Dataset."""
+    ds = entries_dataset(out_dir)
+    ds = ds.filter(expr="type != 'lineage'")
+    return ds.sort("order_key")
+
+
+def images_dataset(out_dir: str) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(out_dir, "images"))

@@ -1,0 +1,139 @@
+"""Fetch stage: resolve frontier-entry URLs against the page store.
+
+The reference fetches with ``requests`` one URL at a time
+(/root/reference/forum_dl/session.py:68-88). Here the fetch stage is a
+``map_batches`` transform over Arrow batches of frontier entries. In
+this sandbox (no network) URLs resolve against the fixture page table
+— the synthetic stand-in FIXTURES.md F1 prescribes; an HTTP fetcher
+drops in behind the same batch signature.
+
+State strategy: the page store (parquet → hash-indexed lookup) is
+immutable, so it lives in a module-global cache keyed by path —
+initialized ONCE PER WORKER PROCESS and reused by every task and
+every crawl wave. This deliberately uses tasks + per-process cache
+instead of a map_batches actor pool: actor pools are constructed per
+Dataset execution, and the crawl runs one small Dataset per wave, so
+a pool would pay actor startup on every wave while the process-global
+cache pays parquet-load once per worker for the whole crawl.
+
+Retry semantics (session.py:117-141): deterministic seeded "transient"
+failures (`flaky_rate`) are retried in-stage up to `retries` times;
+permanently failed URLs (missing / status>=400) are marked in the
+frontier failed-set and NEVER retried at crawl level
+(session.py:112-115 parity — SURVEY.md §7.4 error-swallowing).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_STORES: dict[str, "PageStore"] = {}
+
+
+class PageStore:
+    """Hash-indexed read-only page table (vectorized lookups)."""
+
+    def __init__(self, pages_path: str):
+        t = pq.read_table(pages_path, memory_map=True)
+        from ..urlnorm import url_hash64_array
+
+        hashes = url_hash64_array(t["url"])
+        order = np.argsort(hashes, kind="stable")
+        self.sorted_hashes = hashes[order]
+        self.row_for = order
+        self.table = t
+
+    def lookup(self, urls: list[str]) -> list[int]:
+        """Row index per url, -1 when absent."""
+        from ..urlnorm import url_hash64_array
+
+        h = url_hash64_array(urls)
+        pos = np.searchsorted(self.sorted_hashes, h)
+        out = np.full(len(urls), -1, dtype=np.int64)
+        in_range = pos < len(self.sorted_hashes)
+        ok = in_range.copy()
+        ok[in_range] &= self.sorted_hashes[pos[in_range]] == h[in_range]
+        out[ok] = self.row_for[pos[ok]]
+        return out.tolist()
+
+
+def get_store(pages_path: str) -> PageStore:
+    store = _STORES.get(pages_path)
+    if store is None:
+        store = PageStore(pages_path)
+        _STORES[pages_path] = store
+    return store
+
+
+def fetch_batch(
+    batch: pa.Table,
+    *,
+    pages_path: str,
+    frontier: Any = None,
+    flaky_rate: float = 0.0,
+    retries: int = 3,
+) -> pa.Table:
+    """Frontier-entry batch → fetched batch (+ body/status/content_type,
+    sha1/n_bytes lineage fields). Marks permanent failures in the
+    frontier failed-set (batched RPC, only when failures exist)."""
+    store = get_store(pages_path)
+    urls = batch["url"].to_pylist()
+    rows = store.lookup(urls)
+
+    bodies: list[bytes] = []
+    statuses: list[int] = []
+    ctypes: list[str] = []
+    sha1s: list[str] = []
+    nbytes: list[int] = []
+    body_col = store.table["body"]
+    status_col = store.table["status"]
+    ctype_col = store.table["content_type"]
+    failed_idx: list[int] = []
+
+    for i, (url, r) in enumerate(zip(urls, rows)):
+        if r < 0:
+            bodies.append(b"")
+            statuses.append(404)
+            ctypes.append("")
+            sha1s.append("")
+            nbytes.append(0)
+            failed_idx.append(i)
+            continue
+        status = status_col[r].as_py()
+        if flaky_rate > 0.0:
+            # deterministic transient failure on attempt 1 for a seeded
+            # subset; succeeds within `retries` in-stage attempts
+            h = int.from_bytes(hashlib.blake2b(url.encode(), digest_size=4).digest(), "little")
+            transient = (h % 1000) < int(flaky_rate * 1000)
+            if transient and retries < 1:
+                status = 503
+        if status != 200:
+            bodies.append(b"")
+            statuses.append(int(status))
+            ctypes.append("")
+            sha1s.append("")
+            nbytes.append(0)
+            failed_idx.append(i)
+            continue
+        body = body_col[r].as_py()
+        bodies.append(body)
+        statuses.append(200)
+        ctypes.append(ctype_col[r].as_py())
+        sha1s.append(hashlib.sha1(body).hexdigest())
+        nbytes.append(len(body))
+
+    if failed_idx and frontier is not None:
+        frontier.mark_failed([urls[i] for i in failed_idx])
+
+    return (
+        batch.append_column("body", pa.array(bodies, pa.large_binary()))
+        .append_column("status", pa.array(statuses, pa.int32()))
+        .append_column("content_type", pa.array(ctypes, pa.string()))
+        .append_column("bytes_sha1", pa.array(sha1s, pa.string()))
+        .append_column("n_bytes", pa.array(nbytes, pa.int64()))
+    )
