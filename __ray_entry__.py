@@ -1,44 +1,212 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+`entry()` runs the flagship document-enrichment pipeline over
+sf0.001. `queries()` exposes one callable per implemented operator
+family (SURVEY.md §2 + training-data ops); `oracle_sql()` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (same column
+names — the driver compares by name + order-insensitive value hash).
+Crawl-engine queries (wave scheduler, frontier, ordering parity) are
+not SQL-expressible; they appear without oracles and are covered by
+`tests/test_crawl_e2e.py` golden parity instead.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/ray.shutdown() here or in the library.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+QUERY_VEC_IDS = [0, 1, 2]
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: document enrichment over sf0.001 — token counts, text
+    stats, language-ID, exact-dedup keeper flag, minhash near-dup
+    cluster — returned as one Ray Dataset."""
+    import pandas as pd
+    import ray.data as rd
+
+    from forum_dl_ray.ops import dedup, text
+
+    sf_dir = "/root/testdata/sf0.001"
+    stats = text.text_stats(sf_dir).to_pandas()
+    langs = text.lang_id(sf_dir).to_pandas()
+    fps = text.fingerprints(sf_dir).to_pandas()
+    keepers = set(dedup.exact_dedup_keepers(sf_dir)["doc_id"])
+    clusters = dedup.minhash_clusters(sf_dir)
+
+    df = stats.merge(langs, on="doc_id").merge(fps, on="doc_id").merge(clusters, on="doc_id")
+    df["is_exact_keeper"] = df["doc_id"].isin(keepers)
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return rd.from_pandas(df)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from forum_dl_ray.ops import dedup, queries as q, similarity, text
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {
+        # --- relational / aggregate (SURVEY.md A1/A3/A8, M23 analogs) ---
+        "q1_pricing_summary": q.q1_pricing_summary,
+        "q3_top_revenue_orders": q.q3_top_revenue_orders,
+        "events_by_type": q.events_by_type,
+        "events_windowed": q.events_windowed,
+        "customers_per_region": q.customers_per_region,
+        "filter_project_lineitem": q.filter_project_lineitem,
+        # --- text analysis ---
+        "token_counts": text.token_counts,
+        "text_stats": text.text_stats,
+        "lang_id": text.lang_id,
+        "fingerprints": text.fingerprints,
+        "simhashes": text.simhashes,
+        # --- dedup family ---
+        "exact_dedup_keepers": dedup.exact_dedup_keepers,
+        "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
+        "minhash_clusters": dedup.minhash_clusters,
+        "simhash_dedup_pairs": dedup.simhash_dedup_pairs,
+        "embedding_dedup_pairs": dedup.embedding_dedup_pairs,
+        # --- similarity search ---
+        "ann_brute_topk": lambda sf: similarity.brute_topk(sf, QUERY_VEC_IDS, k=10),
+        "ann_ivf_topk": lambda sf: similarity.ivf_topk(sf, QUERY_VEC_IDS, k=10),
+        # --- crawl engine (rows-only; golden parity in tests) ---
+        "crawl_entries_ordered": _crawl_entries,
+        "crawl_seen_set": _crawl_seen,
+        "crawl_images_payload": _crawl_images,
+    }
+    return out
+
+
+def _crawl_out_dir() -> str:
+    """Run the micro-fixture crawl once per process, cache the output."""
+    import ray
+
+    from forum_dl_ray.crawl import CrawlConfig, Crawler
+    from forum_dl_ray.fixtures import generate_fixture, micro_spec
+
+    out = "/tmp/fdr_entry_crawl"
+    marker = os.path.join(out, "stats.json")
+    if not os.path.exists(marker):
+        fx = generate_fixture(micro_spec())
+        Crawler(fx, out, CrawlConfig(num_shards=2, target_tasks=4)).run()
+    return out
+
+
+def _crawl_entries(sf_dir: str) -> Any:
+    """Ordered entry stream of the micro-fixture crawl (order parity
+    surface; sf_dir unused — the crawl fixture is self-contained)."""
+    from forum_dl_ray.crawl.crawler import ordered_items
+
+    ds = ordered_items(_crawl_out_dir())
+    return ds.drop_columns(["content_bytes", "creation_time"])
+
+
+def _crawl_seen(sf_dir: str) -> Any:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(_crawl_out_dir(), "seen.parquet"))
+    return t.sort_by("url_hash")
+
+
+def _crawl_images(sf_dir: str) -> Any:
+    from forum_dl_ray.crawl.crawler import images_dataset
+
+    ds = images_dataset(_crawl_out_dir())
+    return ds.drop_columns(["bytes"])
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tok_list = r"regexp_split_to_array(trim(text), '\s+')"
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_base_price_c,
+                   sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS sum_disc_price_c,
+                   count(*) AS count_order,
+                   sum(CAST(l_quantity AS BIGINT)) * 10000 // count(*) AS avg_qty_e4
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_revenue_orders": """
+            SELECT l_orderkey,
+                   sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_c
+            FROM lineitem
+            WHERE l_orderkey IN (
+                SELECT o_orderkey FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                WHERE c_mktsegment = 'BUILDING')
+            GROUP BY l_orderkey
+            ORDER BY revenue_c DESC, l_orderkey
+            LIMIT 10
+        """,
+        "events_by_type": """
+            SELECT event_type, count(*) AS n_events,
+                   sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS total_value_mil
+            FROM events GROUP BY event_type
+        """,
+        "events_windowed": """
+            SELECT user_id, epoch_us(ts) // 3600000000 AS win,
+                   count(*) AS n,
+                   sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS v_mil
+            FROM events GROUP BY user_id, win
+        """,
+        "customers_per_region": """
+            SELECT r_name, count(*) AS n_customers
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "filter_project_lineitem": """
+            SELECT l_orderkey, l_linenumber, l_returnflag
+            FROM lineitem
+            WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """,
+        "token_counts": f"""
+            SELECT doc_id,
+                   len({tok_list}) AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_subwords
+            FROM documents
+        """,
+        "text_stats": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars_m,
+                   len({tok_list}) AS n_tokens,
+                   len(list_distinct({tok_list})) AS n_uniq_tokens,
+                   list_aggregate(list_transform({tok_list}, x -> length(x)), 'max') AS max_token_len
+            FROM documents
+        """,
+        "exact_dedup_keepers": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "ann_brute_topk": """
+            WITH q AS (
+                SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+                FROM embeddings WHERE vec_id IN (0, 1, 2)
+            ), s AS (
+                SELECT q.qid AS query_id, e.vec_id,
+                       list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS cos,
+                       row_number() OVER (
+                           PARTITION BY q.qid
+                           ORDER BY list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) DESC,
+                                    e.vec_id
+                       ) AS rn
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id != q.qid
+            )
+            SELECT query_id, vec_id, round(cos, 5) AS cos_r FROM s WHERE rn <= 10
+        """,
+        "embedding_dedup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_r
+            FROM embeddings a
+            JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        """,
+    }

@@ -29,3 +29,8 @@ def detect_engine(url: str, body: bytes) -> str | None:
         if ENGINES[name].detect(url, body):
             return name
     return None
+
+
+import forum_dl_ray as _fdr
+
+_fdr.ship_by_value()

@@ -8,3 +8,8 @@ __all__ = [
     "small_spec",
     "bench_spec",
 ]
+
+
+import forum_dl_ray as _fdr
+
+_fdr.ship_by_value()

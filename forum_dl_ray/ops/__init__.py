@@ -1,0 +1,17 @@
+"""Training-data-scale operations over the driver-provided tables.
+
+Beyond crawl parity with the reference, these are the operations a
+large-scale training-data pipeline needs (dedup, similarity search,
+text analysis, relational aggregates) — each expressed Ray-Data-first:
+vectorized ``map_batches`` kernels, partial aggregation before
+shuffles, broadcast small sides, explicit LSH bucketing for near-dup
+joins. Exposed via ``__ray_entry__.queries()`` with DuckDB oracles
+where SQL can express the semantics.
+"""
+
+from . import dedup, queries, similarity, text  # noqa: F401
+
+
+import forum_dl_ray as _fdr
+
+_fdr.ship_by_value()

@@ -1,0 +1,190 @@
+"""Text-analysis kernels over the documents table.
+
+Language-ID (n-gram/stopword heuristic), quality stats (token counts,
+distinct-token counts), token counting (whitespace + BPE-ish regex),
+and rolling-hash document fingerprinting — each a vectorized
+``map_batches`` stage. Integer outputs wherever an oracle compares
+values (float-hash robustness).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+_TOKEN_RE = re.compile(r"\S+")
+# BPE-ish subword split: runs of letters, digits, or single punctuation
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+
+# tiny per-language stopword profiles (public common-word lists)
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "for", "on"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "ich"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "de", "que", "pour"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "de", "que", "por"},
+    "zh": {"的", "是", "不", "了", "在", "人", "有", "我", "他", "这"},
+}
+
+
+def _read_docs(sf_dir: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def token_counts(sf_dir: str) -> rd.Dataset:
+    """doc_id + whitespace token count + BPE-ish subword count —
+    zero-copy Arrow regex kernels (pc.count_substring_regex)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        n_tok = pc.count_substring_regex(batch["text"], pattern=r"\S+")
+        n_bpe = pc.count_substring_regex(batch["text"], pattern=_BPE_RE.pattern)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pc.cast(n_tok, pa.int64()),
+                "n_subwords": pc.cast(n_bpe, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=8192)
+
+
+def text_stats(sf_dir: str) -> rd.Dataset:
+    """Quality-scoring stats: chars, tokens, distinct tokens, max token
+    length — integers only (oracle-hash robust)."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n_chars = pc.utf8_length(batch["text"])
+        n_tok, n_uniq, max_len = [], [], []
+        for t in texts:
+            toks = t.split()
+            n_tok.append(len(toks))
+            n_uniq.append(len(set(toks)))
+            max_len.append(max((len(w) for w in toks), default=0))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars_m": pc.cast(n_chars, pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_uniq_tokens": pa.array(n_uniq, pa.int64()),
+                "max_token_len": pa.array(max_len, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=8192)
+
+
+class LangId:
+    """Stopword-profile language scorer (stateful stage: profiles and
+    regex compiled once per actor). Returns the argmax profile plus a
+    deterministic tie-break; a real model slots in behind the same
+    batch signature."""
+
+    def __init__(self):
+        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+        self.word = re.compile(r"\w+", re.UNICODE)
+        self.langs = sorted(self.profiles)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        preds, scores = [], []
+        for t in texts:
+            toks = self.word.findall(t.lower())
+            best_lang, best = "und", 0
+            for lang in self.langs:
+                s = sum(1 for w in toks if w in self.profiles[lang])
+                if s > best:
+                    best, best_lang = s, lang
+            preds.append(best_lang)
+            scores.append(best)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_pred": pa.array(preds, pa.string()),
+                "lang_score": pa.array(scores, pa.int64()),
+            }
+        )
+
+
+def lang_id(sf_dir: str) -> rd.Dataset:
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pyarrow", batch_size=4096, concurrency=2)
+
+
+_FP_BASE = np.uint64(1099511628211)
+
+
+def _rolling_fingerprint(text: str) -> int:
+    """FNV-style rolling hash over the whole document (stable)."""
+    h = np.uint64(14695981039346656037)
+    with np.errstate(over="ignore"):
+        for b in text.encode("utf-8"):
+            h = (h ^ np.uint64(b)) * _FP_BASE
+    return int(h.view(np.int64))
+
+
+def fingerprints(sf_dir: str) -> rd.Dataset:
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        fps = [_rolling_fingerprint(t) for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"], "fingerprint": pa.array(fps, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=8192)
+
+
+def token_hashes(texts: list[str], shingle: int = 3) -> list[np.ndarray]:
+    """Per-doc array of stable 64-bit shingle hashes (word n-grams)."""
+    out = []
+    for t in texts:
+        toks = t.split()
+        if len(toks) < shingle:
+            grams = [" ".join(toks)] if toks else [""]
+        else:
+            grams = [" ".join(toks[i : i + shingle]) for i in range(len(toks) - shingle + 1)]
+        h = np.empty(len(grams), dtype=np.uint64)
+        for i, g in enumerate(grams):
+            h[i] = int.from_bytes(
+                hashlib.blake2b(g.encode(), digest_size=8).digest(), "little"
+            )
+        out.append(h)
+    return out
+
+
+def simhash64(texts: list[str]) -> np.ndarray:
+    """64-bit SimHash over word unigrams (vectorized bit counting)."""
+    out = np.empty(len(texts), dtype=np.int64)
+    bits = np.arange(64, dtype=np.uint64)
+    for i, t in enumerate(texts):
+        hashes = token_hashes([t], shingle=1)[0]
+        if len(hashes) == 0:
+            out[i] = 0
+            continue
+        bitmat = ((hashes[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int32)
+        v = bitmat.sum(axis=0) * 2 - len(hashes)  # +1/-1 votes
+        sh = 0
+        for b in range(64):
+            if v[b] > 0:
+                sh |= 1 << b
+        out[i] = sh - (1 << 64) if sh >= (1 << 63) else sh
+    return out
+
+
+def simhashes(sf_dir: str) -> rd.Dataset:
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        sh = simhash64(batch["text"].to_pylist())
+        return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(sh, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=8192)

@@ -1,0 +1,95 @@
+"""Driver-style correctness gate: run each queries() entry and compare
+against its oracle_sql() DuckDB result (row count + schema + values),
+mimicking CORRECTNESS_r{N}.json before the driver does."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __ray_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+          "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def _to_df(res) -> pd.DataFrame:
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+ORACLED = sorted(entrymod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(ray_session, con, name):
+    ours = _normalize(_to_df(entrymod.queries()[name](SF_DIR)))
+    theirs = _normalize(con.sql(entrymod.oracle_sql()[name]).df())
+    assert list(ours.columns) == list(theirs.columns), (ours.columns, theirs.columns)
+    assert len(ours) == len(theirs)
+    for c in ours.columns:
+        a, b = ours[c].tolist(), theirs[c].tolist()
+        if ours[c].dtype.kind == "f":
+            assert all(
+                (math.isnan(x) and math.isnan(y)) or x == y for x, y in zip(a, b)
+            ), f"{name}.{c} float mismatch"
+        else:
+            assert a == b, f"{name}.{c} mismatch"
+
+
+def test_entry_runs(ray_session):
+    ds = entrymod.entry()
+    df = ds.to_pandas()
+    assert len(df) == 500
+    assert {"doc_id", "lang_pred", "cluster_id", "is_exact_keeper", "fingerprint"} <= set(df.columns)
+
+
+def test_rows_only_queries_run(ray_session):
+    qs = entrymod.queries()
+    rows_only = set(qs) - set(entrymod.oracle_sql())
+    assert rows_only, "expected some non-SQL-expressible queries"
+    for name in sorted(rows_only):
+        df = _to_df(qs[name](SF_DIR))
+        assert df is not None and len(df.columns) > 0, name
+
+
+def test_ivf_recall_vs_brute(ray_session):
+    from forum_dl_ray.ops import similarity
+
+    brute = similarity.brute_topk(SF_DIR, [0, 1, 2], k=10)
+    ivf = similarity.ivf_topk(SF_DIR, [0, 1, 2], k=10, n_clusters=8, nprobe=4)
+    recalls = []
+    for q in [0, 1, 2]:
+        b = set(brute.loc[brute["query_id"] == q, "vec_id"])
+        i = set(ivf.loc[ivf["query_id"] == q, "vec_id"])
+        recalls.append(len(b & i) / len(b))
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
