@@ -1,0 +1,303 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line::
+
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+     "crawl_urls_per_sec": ..., "frontier_ops_per_sec": ...}
+
+``--scaling`` runs the steady-state crawl job (fetch → parse/decode
+at full width over a ~1.2M-URL fixture; see
+forum_dl_ray/crawl/steady.py for why steady-state is the scaling
+subject) twice in FRESH processes at num_cpus=N and num_cpus=4N on
+the SAME fixture input and reports both throughputs plus scaling
+efficiency = (thr_4N / thr_N) / 4 — the sandbox stand-in for the
+N-node vs 4N-node cluster criterion (no real multi-node cluster
+here). Protocol per size: one warmup run (spins the worker pool, as a
+standing cluster would have) then best of ``reps`` timed runs
+(single-machine wall time is noisy; best-of minimizes interference).
+Default pair 4→16: at 8→32 a single box saturates memory bandwidth
+shared by all workers, which a 4N-node cluster does not (each node
+brings its own); both pairs are recorded in BASELINE.md.
+
+This script OWNS its Ray session (unlike __ray_entry__).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+# pipelines timed in the main bench (a representative slice of
+# __ray_entry__.queries(): relational, text, dedup, similarity)
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "events_by_type",
+    "events_windowed",
+    "customers_per_region",
+    "filter_project_lineitem",
+    "token_counts",
+    "text_stats",
+    "lang_id",
+    "fingerprints",
+    "simhashes",
+    "exact_dedup_keepers",
+    "minhash_clusters",
+    "simhash_dedup_pairs",
+    "embedding_dedup_pairs",
+    "ann_brute_topk",
+    "ann_ivf_topk",
+]
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def _consume(res) -> int:
+    """Force execution; return row count."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        return res.count()
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    if isinstance(res, pd.DataFrame):
+        return len(res)
+    return 0
+
+
+def _crawl_fixture_dir(sf_dir: str) -> str:
+    """Pick a crawl fixture scaled to the sf tier; cached by digest."""
+    from forum_dl_ray.fixtures import bench_spec, generate_fixture, micro_spec, small_spec
+
+    if sf_dir.rstrip("/").endswith("sf0.001"):
+        spec = micro_spec()
+    elif sf_dir.rstrip("/").endswith("sf0.01"):
+        spec = small_spec()
+    else:
+        spec = bench_spec()
+    return generate_fixture(spec)
+
+
+def crawl_bench(sf_dir: str, num_cpus: int) -> dict:
+    """Headline crawl: wave scheduler over the synthetic fixture."""
+    from forum_dl_ray.crawl import CrawlConfig, Crawler
+
+    fx = _crawl_fixture_dir(sf_dir)
+    out = os.path.join("/tmp", "fdr_bench_crawl", f"cpus{num_cpus}")
+    cfg = CrawlConfig(
+        num_shards=max(2, num_cpus // 4),
+        target_tasks=8,  # waves are latency-bound; wide slicing measured slower
+        wave_size=16384,
+    )
+    stats = Crawler(fx, out, cfg).run()
+    return {
+        "crawl_urls_fetched": stats["urls_fetched"],
+        "crawl_elapsed_sec": round(stats["elapsed_sec"], 3),
+        "crawl_urls_per_sec": round(stats["urls_per_sec"], 1),
+        "crawl_waves": stats["waves"],
+    }
+
+
+def frontier_bench(num_cpus: int, n_urls: int = 200_000) -> dict:
+    """offer/seen-check/poll ops/sec on a synthetic frontier."""
+    from forum_dl_ray.frontier import Frontier, FrontierConfig
+    from forum_dl_ray.schemas import order_key
+
+    frontier = Frontier.create(
+        FrontierConfig(num_shards=max(2, num_cpus // 4), capacity_per_shard=n_urls)
+    )
+    rows = [
+        {
+            "url": f"http://h{i % 97}.test/t/{i}",
+            "url_hash": (i * 0x9E3779B97F4A7C15) % (1 << 63),
+            "host": f"h{i % 97}.test",
+            "engine": "html-generic",
+            "kind": "page",
+            "depth": 1,
+            "seq": i,
+            "order_key": order_key(i),
+            "path": "[]",
+            "title": "",
+            "cursor": "{}",
+        }
+        for i in range(n_urls)
+    ]
+    t0 = time.perf_counter()
+    batch = 16384
+    for i in range(0, n_urls, batch):
+        frontier.offer(rows[i : i + batch])
+    # duplicate re-offer = the seen-check path
+    for i in range(0, n_urls, batch):
+        frontier.offer(rows[i : i + batch])
+    polled = 0
+    while polled < n_urls:
+        t = frontier.poll(now=time.monotonic(), max_total=batch)
+        if t.num_rows == 0:
+            break
+        polled += t.num_rows
+    dt = time.perf_counter() - t0
+    ops = 2 * n_urls + polled
+    return {
+        "frontier_ops": ops,
+        "frontier_elapsed_sec": round(dt, 3),
+        "frontier_ops_per_sec": round(ops / dt, 1),
+    }
+
+
+def steady_run(num_cpus: int, big: bool, reps: int = 2) -> dict:
+    """Warmup + best-of-reps steady-state run (session must be up)."""
+    from forum_dl_ray.crawl.steady import steady_bench
+    from forum_dl_ray.fixtures import generate_fixture, steady_big_spec, steady_spec
+
+    warm_fx = generate_fixture(steady_spec())
+    steady_bench(warm_fx, "/tmp/fdr_steady_warm", num_cpus)  # worker-pool warmup
+    fx = generate_fixture(steady_big_spec()) if big else warm_fx
+    best = None
+    for _ in range(reps):
+        r = steady_bench(fx, "/tmp/fdr_steady_out", num_cpus)
+        if best is None or r["steady_urls_per_sec"] > best["steady_urls_per_sec"]:
+            best = r
+    return best
+
+
+def run_full(sf_dir: str, num_cpus: int) -> dict:
+    _init_ray(num_cpus)
+    import __ray_entry__ as em
+
+    qs = em.queries()
+    qtimes: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        _consume(qs[name](sf_dir))
+        dt = time.perf_counter() - t0
+        qtimes[name] = round(dt, 3)
+        total += dt
+
+    crawl = crawl_bench(sf_dir, num_cpus)
+    total += crawl["crawl_elapsed_sec"]
+    fops = frontier_bench(num_cpus)
+    steady = steady_run(num_cpus, big=False, reps=1)
+
+    import ray
+
+    ray.shutdown()
+    return {
+        "metric": "headline pipelines + crawl wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        **crawl,
+        **fops,
+        **steady,
+    }
+
+
+def run_steady_only(num_cpus: int, reps: int = 2) -> dict:
+    """Steady-state scaling subject, one fresh process."""
+    _init_ray(num_cpus)
+    res = steady_run(num_cpus, big=True, reps=reps)
+    import ray
+
+    ray.shutdown()
+    return {
+        "metric": "steady-state crawl throughput (URLs fetched+parsed/sec)",
+        "value": res["steady_urls_per_sec"],
+        "unit": "urls/sec",
+        "num_cpus": num_cpus,
+        **res,
+    }
+
+
+def run_scaling(sf_dir: str, lo: int, hi: int) -> dict:
+    """Same steady-state job at num_cpus=lo and =hi, fresh processes."""
+    # pre-generate fixtures once so neither run pays generation cost
+    from forum_dl_ray.fixtures import generate_fixture, steady_big_spec, steady_spec
+
+    generate_fixture(steady_spec())
+    generate_fixture(steady_big_spec())
+    results = {}
+    for cpus in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--steady-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    thr_lo = results[lo]["steady_urls_per_sec"]
+    thr_hi = results[hi]["steady_urls_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo) if thr_lo > 0 else 0.0
+    return {
+        "metric": "steady-state crawl scaling efficiency N->4N (sandbox: num_cpus)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": sf_dir,
+        "num_cpus": hi,
+        "queries": {
+            f"steady_cpus{lo}": results[lo]["steady_elapsed_sec"],
+            f"steady_cpus{hi}": results[hi]["steady_elapsed_sec"],
+        },
+        "throughput_lo": thr_lo,
+        "throughput_hi": thr_hi,
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--scaling", action="store_true")
+    p.add_argument("--steady-only", action="store_true")
+    p.add_argument("--cpus-lo", type=int, default=4)
+    p.add_argument("--cpus-hi", type=int, default=16)
+    args = p.parse_args()
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if args.scaling:
+        out = run_scaling(sf_dir, args.cpus_lo, args.cpus_hi)
+    elif args.steady_only:
+        out = run_steady_only(num_cpus)
+    else:
+        out = run_full(sf_dir, num_cpus)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

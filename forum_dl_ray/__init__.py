@@ -22,26 +22,47 @@ ownership belongs to the caller (driver, bench.py, test fixture).
 
 __version__ = "0.1.0"
 
+import os as _os
 
-def ship_by_value() -> None:
-    """Register every loaded ``forum_dl_ray`` module for cloudpickle
-    by-value serialization so Ray workers can deserialize our batch
-    kernels and actor classes even when the driver's cwd (and hence
-    the workers' default sys.path) does not contain this repo — the
-    local-mode import gotcha. Idempotent; safe to call repeatedly.
-    Subpackage ``__init__`` modules call this after importing their
-    submodules, so any entry point (`forum_dl_ray.ops`, `.crawl`, ...)
-    registers the full loaded module set.
+# Ray workers resolve this package via the DRIVER's cwd in local mode;
+# when the driver runs from elsewhere (the driver harness, bench
+# subprocesses), any stage whose function/class references package
+# code must pin PYTHONPATH so its workers can import us. Every
+# map_batches / actor in this repo passes STAGE_RUNTIME_ENV. (Pickling
+# the modules by value instead is tempting but wrong: each task then
+# deserializes a fresh copy of the module globals, which breaks
+# process-global caches like the fetch-stage page store and re-ships
+# module code on every task.)
+REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+STAGE_RUNTIME_ENV = {"env_vars": {"PYTHONPATH": REPO_ROOT}}
+
+
+def _shim_fsspec_http() -> None:
+    """Make ``fsspec.implementations.http`` importable deterministically.
+
+    This container has fsspec but no aiohttp, so that import fails —
+    and because a FAILED import is retried on every attempt, concurrent
+    Dataset writes (our overlapped crawl waves) race inside Python's
+    import machinery: the losing thread sees a partially-initialized
+    module and gets a plain ImportError, which Ray's
+    ``_is_http_filesystem`` (ray/data/datasource/path_util.py) does NOT
+    catch (it only catches ModuleNotFoundError). Installing a sentinel
+    module with an HTTPFileSystem class nothing ever instantiates makes
+    the import succeed once and stay cached — no more race.
     """
     import sys
+    import types
 
     try:
-        from ray import cloudpickle
-    except Exception:  # pragma: no cover - ray always present here
-        return
-    for name, mod in list(sys.modules.items()):
-        if mod is not None and (name == __name__ or name.startswith(__name__ + ".")):
-            try:
-                cloudpickle.register_pickle_by_value(mod)
-            except Exception:
-                pass
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except ImportError:
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # sentinel only; aiohttp absent
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
+
+
+_shim_fsspec_http()

@@ -36,6 +36,7 @@ import time
 from dataclasses import dataclass, field
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
@@ -60,10 +61,13 @@ _STAGE_RUNTIME_ENV = {"env_vars": {"PYTHONPATH": _REPO_ROOT}}
 class CrawlConfig:
     num_shards: int = 4
     wave_size: int = 8192
-    target_tasks: int = 8          # fetch/parse blocks per wave
+    target_tasks: int = 8          # max fetch/parse blocks per wave
+    min_rows_per_task: int = 512   # don't slice below this (task overhead)
+    inline_below: int = 96         # waves smaller than this run on the driver
     fetch_batch_size: int = 512
     parse_batch_size: int = 512
-    asset_batch_size: int = 64     # wide binary rows -> small batches
+    asset_batch_size: int = 256    # wide binary rows -> smaller batches
+    max_inflight_waves: int = 4    # concurrent wave pipelines (driver threads)
     default_rate: float = float("inf")
     host_rates: dict = field(default_factory=dict)
     robots: dict = field(default_factory=dict)  # host -> [disallow prefixes]
@@ -129,15 +133,110 @@ class Crawler:
                 shutil.rmtree(d, ignore_errors=True)
             frontier.offer(self.seed_entries())
 
+        # broadcast the page store once (ray.put) — every fetch task
+        # resolves it zero-copy from the object store
+        from .fetch import put_store
+
+        store_ref = put_store(self.pages_path)
         fetch = functools.partial(
-            fetch_batch, pages_path=self.pages_path, frontier=frontier,
+            fetch_batch, pages_path=store_ref, frontier=frontier,
             flaky_rate=cfg.flaky_rate,
         )
+
+        def run_pages(pages_t, w: int) -> None:
+            ds = rd.from_arrow(_slices(pages_t, cfg.target_tasks, cfg.min_rows_per_task))
+            out = ds.map_batches(
+                fetch, batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
+                runtime_env=_STAGE_RUNTIME_ENV,
+            ).map_batches(
+                functools.partial(parse_batch, frontier=frontier, wave=w),
+                batch_format="pyarrow", batch_size=cfg.parse_batch_size,
+                runtime_env=_STAGE_RUNTIME_ENV,
+            )
+            self._write_wave(out, self.entries_dir, w)
+
+        def run_assets(assets_t, w: int) -> None:
+            ds = rd.from_arrow(_slices(assets_t, cfg.target_tasks, cfg.min_rows_per_task))
+            out = ds.map_batches(
+                fetch, batch_format="pyarrow", batch_size=cfg.asset_batch_size,
+                runtime_env=_STAGE_RUNTIME_ENV,
+            ).map_batches(
+                asset_batch, batch_format="pyarrow", batch_size=cfg.asset_batch_size,
+                runtime_env=_STAGE_RUNTIME_ENV,
+            )
+            self._write_wave(out, self.images_dir, w)
+
+        def run_inline(t, w: int) -> None:
+            """Tiny waves (crawl ramp-up/tail) skip Ray Data: the same
+            fetch/parse/asset kernels run on the driver, saving ~1 s of
+            pipeline latency per wave — the ramp is a sequential chain
+            (seed → index → first boards), so this latency is on the
+            critical path and cores can't help."""
+            import pyarrow.parquet as _pq
+
+            for kind_mask, kernel, root in (
+                (pc.invert(pc.equal(t["kind"], "asset")),
+                 lambda b: parse_batch(fetch(b), frontier=frontier, wave=w),
+                 self.entries_dir),
+                (pc.equal(t["kind"], "asset"),
+                 lambda b: asset_batch(fetch(b)), self.images_dir),
+            ):
+                part = t.filter(kind_mask)
+                if not part.num_rows:
+                    continue
+                out_t = kernel(part)
+                d = os.path.join(root, f"wave={w}")
+                shutil.rmtree(d, ignore_errors=True)
+                os.makedirs(d, exist_ok=True)
+                _pq.write_table(out_t, os.path.join(d, "part-0.parquet"))
+                with open(os.path.join(d, "_DONE"), "w") as f:
+                    f.write("ok")
+
+        # Wave pipelines OVERLAP: the poll loop keeps feeding new wave
+        # Datasets while earlier ones are still streaming (pagination
+        # chain k+1 only needs chain k's PARSE to have offered back, not
+        # its sink to have flushed). Per-pipeline fixed cost and the
+        # politeness-bounded tail thus hide behind useful work — this is
+        # what makes throughput scale with cores instead of being
+        # chain-depth × pipeline-overhead bound.
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=2 * cfg.max_inflight_waves)
+        inflight: list = []
+
+        # Prewarm while the ramp waves run inline: spin up the
+        # runtime_env worker pool and load the page store once per
+        # worker so the first wide wave doesn't pay cold start.
+        def _prewarm() -> None:
+            try:
+                warm = rd.from_arrow(
+                    [pa.table({"warm": pa.array([i], pa.int64())})
+                     for i in range(cfg.target_tasks)]
+                )
+                warm.map_batches(
+                    functools.partial(_prewarm_batch, pages_path=store_ref),
+                    batch_format="pyarrow", batch_size=1,
+                    runtime_env=_STAGE_RUNTIME_ENV,
+                ).materialize()
+            except Exception:
+                pass  # warmup is best-effort
+
+        pool.submit(_prewarm)
         t_start = time.perf_counter()
         n_fetched = 0
         while wave < cfg.max_waves:
+            for f in inflight:
+                if f.done():
+                    f.result()  # propagate wave-pipeline failures loudly
+            inflight = [f for f in inflight if not f.done()]
+            if len(inflight) >= 2 * cfg.max_inflight_waves:
+                time.sleep(0.005)
+                continue
             t = frontier.poll(now=time.monotonic(), max_total=cfg.wave_size)
             if t.num_rows == 0:
+                if inflight:
+                    time.sleep(0.01)  # parses in flight may offer more
+                    continue
                 if frontier.pending_count() == 0:
                     break
                 time.sleep(0.02)  # politeness tokens refilling
@@ -150,31 +249,25 @@ class Crawler:
             pages_t = t.filter(pc.invert(is_asset))
             assets_t = t.filter(is_asset)
 
-            if pages_t.num_rows:
-                ds = rd.from_arrow(_slices(pages_t, cfg.target_tasks))
-                out = ds.map_batches(
-                    fetch, batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
-                    runtime_env=_STAGE_RUNTIME_ENV,
-                ).map_batches(
-                    functools.partial(parse_batch, frontier=frontier, wave=wave),
-                    batch_format="pyarrow", batch_size=cfg.parse_batch_size,
-                    runtime_env=_STAGE_RUNTIME_ENV,
-                )
-                self._write_wave(out, self.entries_dir, wave)
-            if assets_t.num_rows:
-                ds = rd.from_arrow(_slices(assets_t, cfg.target_tasks))
-                out = ds.map_batches(
-                    fetch, batch_format="pyarrow", batch_size=cfg.asset_batch_size,
-                    runtime_env=_STAGE_RUNTIME_ENV,
-                ).map_batches(
-                    asset_batch, batch_format="pyarrow", batch_size=cfg.asset_batch_size,
-                    runtime_env=_STAGE_RUNTIME_ENV,
-                )
-                self._write_wave(out, self.images_dir, wave)
+            if t.num_rows < cfg.inline_below:
+                run_inline(t, wave)
+            else:
+                if pages_t.num_rows:
+                    inflight.append(pool.submit(run_pages, pages_t, wave))
+                if assets_t.num_rows:
+                    inflight.append(pool.submit(run_assets, assets_t, wave))
 
             if cfg.checkpoint_every and (wave + 1) % cfg.checkpoint_every == 0:
+                # checkpoint at a quiescent point: drain in-flight waves
+                # so the snapshot covers exactly waves <= current
+                for f in inflight:
+                    f.result()
+                inflight = []
                 self._checkpoint(frontier, wave)
             wave += 1
+        for f in inflight:
+            f.result()
+        pool.shutdown()
 
         elapsed = time.perf_counter() - t_start
         # final seen set -> the golden-oracle comparison surface
@@ -199,7 +292,12 @@ class Crawler:
         d = os.path.join(root, f"wave={wave}")
         shutil.rmtree(d, ignore_errors=True)
         os.makedirs(d, exist_ok=True)
-        ds.write_parquet(d)
+        # explicit local filesystem: concurrent wave threads otherwise
+        # race fsspec's lazy imports inside path resolution
+        # (ImportError: cannot import name 'HTTPFileSystem')
+        import pyarrow.fs as pafs
+
+        ds.write_parquet(d, filesystem=pafs.LocalFileSystem())
         with open(os.path.join(d, "_DONE"), "w") as f:
             f.write("ok")
 
@@ -232,10 +330,20 @@ class Crawler:
         return ckpt_wave + 1
 
 
-def _slices(t, n_slices: int):
-    """Split an arrow table into ~n equal slices (one Dataset block each)."""
+def _prewarm_batch(batch: "pa.Table", *, pages_path: str) -> "pa.Table":
+    """Worker warmup kernel: force package import + page-store load."""
+    from .fetch import get_store
+
+    get_store(pages_path)
+    return batch
+
+
+def _slices(t, n_slices: int, min_rows: int = 1):
+    """Split an arrow table into ~n equal slices (one Dataset block
+    each), but never below ``min_rows`` per slice — tiny blocks cost
+    more in task overhead than they buy in parallelism."""
     n = t.num_rows
-    n_slices = max(1, min(n_slices, n))
+    n_slices = max(1, min(n_slices, n // min_rows if min_rows > 1 else n, n))
     chunk = -(-n // n_slices)
     return [t.slice(i, chunk) for i in range(0, n, chunk)]
 

@@ -32,21 +32,32 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-_STORES: dict[str, "PageStore"] = {}
+_STORES: dict[object, "PageStore"] = {}
 
 
 class PageStore:
-    """Hash-indexed read-only page table (vectorized lookups)."""
+    """Hash-indexed read-only page table (vectorized lookups).
 
-    def __init__(self, pages_path: str):
+    Build ONCE on the driver and broadcast with :func:`put_store`
+    (``ray.put`` of the Arrow table + numpy index → one shared-memory
+    copy per node, read zero-copy by every fetch worker). Building per
+    worker instead costs ~1 s CPU and a full parquet read per process
+    — at 32 workers that serialized the whole pipeline behind
+    redundant index builds."""
+
+    def __init__(self, table: pa.Table, sorted_hashes: np.ndarray, row_for: np.ndarray):
+        self.table = table
+        self.sorted_hashes = sorted_hashes
+        self.row_for = row_for
+
+    @classmethod
+    def build(cls, pages_path: str) -> "PageStore":
         t = pq.read_table(pages_path, memory_map=True)
         from ..urlnorm import url_hash64_array
 
         hashes = url_hash64_array(t["url"])
         order = np.argsort(hashes, kind="stable")
-        self.sorted_hashes = hashes[order]
-        self.row_for = order
-        self.table = t
+        return cls(t, hashes[order], order)
 
     def lookup(self, urls: list[str]) -> list[int]:
         """Row index per url, -1 when absent."""
@@ -62,25 +73,42 @@ class PageStore:
         return out.tolist()
 
 
-def get_store(pages_path: str) -> PageStore:
-    store = _STORES.get(pages_path)
+def put_store(pages_path: str):
+    """Driver-side: build the page store once and broadcast it.
+    Returns an ObjectRef resolvable by :func:`get_store`."""
+    import ray
+
+    s = PageStore.build(pages_path)
+    return ray.put((s.table, s.sorted_hashes, s.row_for))
+
+
+def get_store(src) -> PageStore:
+    """Resolve a page store from an ObjectRef (broadcast, zero-copy,
+    preferred) or a parquet path (per-process build — driver/tests)."""
+    store = _STORES.get(src)
     if store is None:
-        store = PageStore(pages_path)
-        _STORES[pages_path] = store
+        if isinstance(src, str):
+            store = PageStore.build(src)
+        else:
+            import ray
+
+            store = PageStore(*ray.get(src))
+        _STORES[src] = store
     return store
 
 
 def fetch_batch(
     batch: pa.Table,
     *,
-    pages_path: str,
+    pages_path: Any,
     frontier: Any = None,
     flaky_rate: float = 0.0,
     retries: int = 3,
 ) -> pa.Table:
     """Frontier-entry batch → fetched batch (+ body/status/content_type,
     sha1/n_bytes lineage fields). Marks permanent failures in the
-    frontier failed-set (batched RPC, only when failures exist)."""
+    frontier failed-set (batched RPC, only when failures exist).
+    ``pages_path`` is a broadcast store ref or a parquet path."""
     store = get_store(pages_path)
     urls = batch["url"].to_pylist()
     rows = store.lookup(urls)

@@ -1,0 +1,150 @@
+"""Steady-state crawl throughput: fetch → parse/decode at full width.
+
+At the north-rule's 10^10-URL frontier scale the ready set never
+starves: every wave is as wide as the cluster, and throughput is set
+by the fetch/parse/decode stages — not by pagination-chain latency
+(chains are sequential by construction, SURVEY.md §2.6.2; breadth is
+where the parallelism lives). The full wave-scheduler crawl over the
+small sandbox fixture is chain-bound (its total kernel work is a few
+seconds), so the scaling criterion is evidenced on THIS job: the same
+kernels as the crawl (fetch_batch, parse_batch, asset_batch), one
+streaming Dataset pipeline per payload kind, all discovery offers
+dropped into a null frontier (frontier offer/seen throughput is
+benchmarked separately — bench.py frontier_bench — and discovery
+correctness by the crawl goldens).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import shutil
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..schemas import order_key
+from ..urlnorm import host_of, url_hash64_array
+from .assets import asset_batch
+from .crawler import _STAGE_RUNTIME_ENV
+from .fetch import fetch_batch
+from .parse import parse_batch
+
+
+class _NullFrontier:
+    """Drops discovery offers (steady-state measures transform width)."""
+
+    def offer(self, rows) -> int:
+        return 0
+
+    def mark_failed(self, urls) -> None:
+        pass
+
+
+def _make_entries(batch: pa.Table) -> pa.Table:
+    """URL rows → frontier-entry-shaped rows (vectorized where the
+    kernels allow; the per-row remainder is cheap string work)."""
+    urls = batch["url"].to_pylist()
+    ctypes = batch["content_type"].to_pylist()
+    n = len(urls)
+    kinds, cursors = [], []
+    for u, ct in zip(urls, ctypes):
+        if ct.startswith("image/"):
+            kinds.append("asset")
+            cursors.append("{}")
+        elif "/thread/" in u:
+            kinds.append("thread_page")
+            cursors.append('{"k":0,"stack":[],"page":1}')
+        else:
+            kinds.append("board_page")
+            cursors.append('{"j":0,"page":1}')
+    return pa.table(
+        {
+            "url": batch["url"],
+            "url_hash": pa.array(url_hash64_array(urls), pa.int64()),
+            "host": pa.array([host_of(u) for u in urls], pa.string()),
+            "engine": pa.array(["html-generic"] * n, pa.string()),
+            "kind": pa.array(kinds, pa.string()),
+            "depth": pa.array([1] * n, pa.int32()),
+            "seq": pa.array(range(n), pa.int64()),
+            "order_key": pa.array([order_key(i) for i in range(n)], pa.string()),
+            "path": pa.array(["[]"] * n, pa.string()),
+            "title": pa.array([""] * n, pa.string()),
+            "cursor": pa.array(cursors, pa.string()),
+        }
+    )
+
+
+def steady_bench(fixture_dir: str, out_root: str, num_cpus: int) -> dict:
+    """Run the steady-state job; returns throughput stats."""
+    import ray
+
+    pages_path = os.path.join(fixture_dir, "pages.parquet")
+    shutil.rmtree(out_root, ignore_errors=True)
+    os.makedirs(out_root, exist_ok=True)
+    frontier = _NullFrontier()
+
+    # the driver builds the page store once (it IS the simulated
+    # network); broadcast it and feed the URL list straight from it —
+    # no read / filter / repartition stages, block count chosen
+    # explicitly so every core has several tasks
+    from .fetch import PageStore
+
+    store = PageStore.build(pages_path)
+    store_ref = ray.put((store.table, store.sorted_hashes, store.row_for))
+    fetch = functools.partial(fetch_batch, pages_path=store_ref, frontier=frontier)
+    meta = store.table.select(["url", "content_type"])
+    is_html = pc.equal(meta["content_type"], "text/html")
+    html_t = meta.filter(is_html)
+    img_t = meta.filter(pc.invert(is_html))
+    n_urls = meta.num_rows
+
+    # keep the task bundler from merging our deliberately-small blocks
+    ctx = rd.DataContext.get_current()
+    ctx.target_min_block_size = 64 * 1024
+
+    def build(src: pa.Table, kernel, batch_size: int, out_dir: str, chunk: int):
+        # fixed rows-per-task (not rows/num_cpus): tasks stay a few
+        # seconds each at any cluster size — coarse blocks starve small
+        # clusters via imbalance, tiny ones drown the driver in events
+        chunk = max(256, min(chunk, -(-src.num_rows // (2 * num_cpus))))
+        slices = [src.slice(i, chunk) for i in range(0, src.num_rows, chunk)]
+        ds = rd.from_arrow(slices)
+        ds = ds.map_batches(
+            _make_entries, batch_format="pyarrow", batch_size=batch_size,
+            runtime_env=_STAGE_RUNTIME_ENV,
+        ).map_batches(
+            fetch, batch_format="pyarrow", batch_size=batch_size,
+            runtime_env=_STAGE_RUNTIME_ENV,
+        ).map_batches(
+            kernel, batch_format="pyarrow", batch_size=batch_size,
+            runtime_env=_STAGE_RUNTIME_ENV,
+        )
+        import pyarrow.fs as pafs
+
+        ds.write_parquet(out_dir, filesystem=pafs.LocalFileSystem())
+
+    t0 = time.perf_counter()
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as pool:
+        f1 = pool.submit(
+            build, html_t,
+            functools.partial(parse_batch, frontier=frontier, wave=0),
+            1024, os.path.join(out_root, "entries"), 8192,
+        )
+        f2 = pool.submit(
+            build, img_t, asset_batch, 256,
+            os.path.join(out_root, "images"), 4096,
+        )
+        f1.result()
+        f2.result()
+    dt = time.perf_counter() - t0
+    return {
+        "steady_urls": n_urls,
+        "steady_elapsed_sec": round(dt, 3),
+        "steady_urls_per_sec": round(n_urls / dt, 1),
+    }

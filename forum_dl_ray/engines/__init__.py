@@ -29,8 +29,3 @@ def detect_engine(url: str, body: bytes) -> str | None:
         if ENGINES[name].detect(url, body):
             return name
     return None
-
-
-import forum_dl_ray as _fdr
-
-_fdr.ship_by_value()

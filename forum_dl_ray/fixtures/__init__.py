@@ -1,4 +1,13 @@
-from .synth import SiteSpec, FixtureSpec, generate_fixture, micro_spec, small_spec, bench_spec
+from .synth import (
+    SiteSpec,
+    FixtureSpec,
+    generate_fixture,
+    micro_spec,
+    small_spec,
+    bench_spec,
+    steady_spec,
+    steady_big_spec,
+)
 
 __all__ = [
     "SiteSpec",
@@ -7,9 +16,6 @@ __all__ = [
     "micro_spec",
     "small_spec",
     "bench_spec",
+    "steady_spec",
+    "steady_big_spec",
 ]
-
-
-import forum_dl_ray as _fdr
-
-_fdr.ship_by_value()

@@ -408,3 +408,44 @@ def bench_spec() -> FixtureSpec:
                      posts_per_page=12, image_rate=0.1, fail_rate=0.0, seed=53),
         ],
     )
+
+
+def steady_spec() -> FixtureSpec:
+    """~10^5 URLs, wide and shallow — the steady-state scaling fixture.
+
+    At 10^10-frontier scale the ready set never starves, so throughput
+    is breadth-bound, not chain-bound; this spec maximizes breadth
+    (many boards/threads, short pagination chains) so the sandbox
+    scaling run measures the same regime (SURVEY.md §2.6.2:
+    parallelism comes from breadth, never within a pagination chain).
+    """
+    sites = []
+    for i, host in enumerate(
+        ["hot.delta.test", "alpha.test", "beta.test", "gamma.test"]
+    ):
+        sites.append(
+            SiteSpec(
+                host=host,
+                n_top_boards=20,
+                sub_levels=0,
+                threads_per_board=1200 if i == 0 else 600,
+                threads_per_page=100,
+                posts_per_thread=8,
+                posts_per_page=4,
+                image_rate=0.06,
+                fail_rate=0.01,
+                seed=60 + i,
+            )
+        )
+    return FixtureSpec(name="steady", sites=sites)
+
+
+def steady_big_spec() -> FixtureSpec:
+    """~1.2M URLs — the scaling-run fixture (compute must dominate the
+    ~2 s per-pipeline fixed cost for N→4N efficiency to be measurable;
+    see BASELINE.md scaling protocol)."""
+    spec = steady_spec()
+    for s in spec.sites:
+        s.threads_per_board *= 8
+    spec.name = "steady-big"
+    return spec

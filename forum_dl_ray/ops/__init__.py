@@ -10,8 +10,3 @@ where SQL can express the semantics.
 """
 
 from . import dedup, queries, similarity, text  # noqa: F401
-
-
-import forum_dl_ray as _fdr
-
-_fdr.ship_by_value()

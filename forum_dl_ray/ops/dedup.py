@@ -30,6 +30,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from forum_dl_ray import STAGE_RUNTIME_ENV as _RENV
+
 from .text import token_hashes
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -55,7 +57,7 @@ def exact_dedup_keepers(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Min
 
     out = (
-        ds.map_batches(add_hash, batch_format="pyarrow", batch_size=8192)
+        ds.map_batches(add_hash, batch_format="pyarrow", runtime_env=_RENV, batch_size=8192)
         .groupby("text_hash")
         .aggregate(Min("doc_id", alias_name="doc_id"))
         .to_pandas()
@@ -109,7 +111,7 @@ def minhash_bands(sf_dir: str, num_perm: int = 64, bands: int = 16, shingle: int
         )
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        f, batch_format="pyarrow", batch_size=4096
+        f, batch_format="pyarrow", runtime_env=_RENV, batch_size=4096
     )
 
 
@@ -134,7 +136,7 @@ def minhash_dedup_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
 
     cand = (
         band_ds.groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(bucket_pairs, batch_format="pandas", runtime_env=_RENV)
         .to_pandas()
     )
     if len(cand) == 0:
@@ -222,9 +224,9 @@ def simhash_dedup_pairs(sf_dir: str, max_hamming: int = 8) -> pd.DataFrame:
         return pd.DataFrame(pairs, columns=["id_a", "id_b"])
 
     cand = (
-        sh.map_batches(explode, batch_format="pyarrow", batch_size=8192)
+        sh.map_batches(explode, batch_format="pyarrow", runtime_env=_RENV, batch_size=8192)
         .groupby(["band_id", "band_key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(bucket_pairs, batch_format="pandas", runtime_env=_RENV)
         .to_pandas()
     )
     if len(cand) == 0:
@@ -274,7 +276,7 @@ def embedding_dedup_pairs(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
             }
         )
 
-    out = emb.map_batches(block, batch_format="pyarrow", batch_size=2048).to_pandas()
+    out = emb.map_batches(block, batch_format="pyarrow", runtime_env=_RENV, batch_size=2048).to_pandas()
     if "id_a" not in out.columns:  # all blocks empty -> columnless frame
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                              "id_b": pd.Series([], dtype="int64"),

@@ -28,6 +28,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from forum_dl_ray import STAGE_RUNTIME_ENV as _RENV
+
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
@@ -69,7 +71,7 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
         ).groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    partials = ds.map_batches(partial, batch_format="pyarrow", runtime_env=_RENV, batch_size=65536)
     from ray.data.aggregate import Sum
 
     out = (
@@ -108,7 +110,7 @@ def q3_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
         return pa.Table.from_pandas(g, preserve_index=False)
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-    partials = ds.map_batches(revenue_partial, batch_format="pyarrow", batch_size=65536)
+    partials = ds.map_batches(revenue_partial, batch_format="pyarrow", runtime_env=_RENV, batch_size=65536)
     from ray.data.aggregate import Sum
 
     total = partials.groupby("l_orderkey").aggregate(Sum("rev_c", alias_name="revenue_c")).to_pandas()
@@ -127,7 +129,7 @@ def events_by_type(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Count, Sum
 
     out = (
-        ds.map_batches(to_milli, batch_format="pyarrow", batch_size=65536)
+        ds.map_batches(to_milli, batch_format="pyarrow", runtime_env=_RENV, batch_size=65536)
         .groupby("event_type")
         .aggregate(Count(alias_name="n_events"), Sum("value_mil", alias_name="total_value_mil"))
         .to_pandas()
@@ -151,7 +153,7 @@ def events_windowed(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Count, Sum
 
     out = (
-        ds.map_batches(add_window, batch_format="pyarrow", batch_size=65536)
+        ds.map_batches(add_window, batch_format="pyarrow", runtime_env=_RENV, batch_size=65536)
         .groupby(["user_id", "win"])
         .aggregate(Count(alias_name="n"), Sum("value_mil", alias_name="v_mil"))
         .to_pandas()
@@ -181,7 +183,7 @@ def customers_per_region(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Sum
 
     out = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        ds.map_batches(partial, batch_format="pyarrow", runtime_env=_RENV, batch_size=65536)
         .groupby("r_name")
         .aggregate(Sum("n_customers", alias_name="n_customers"))
         .to_pandas()
@@ -204,4 +206,4 @@ def filter_project_lineitem(sf_dir: str) -> rd.Dataset:
         t = batch.filter(m)
         return t.select(["l_orderkey", "l_linenumber", "l_returnflag"])
 
-    return ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
+    return ds.map_batches(f, batch_format="pyarrow", runtime_env=_RENV, batch_size=65536)

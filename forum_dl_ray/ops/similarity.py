@@ -20,6 +20,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from forum_dl_ray import STAGE_RUNTIME_ENV as _RENV
+
 
 def _read_emb(sf_dir: str) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
@@ -71,9 +73,9 @@ def brute_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10) -> 
         return g
 
     out = (
-        emb.map_batches(local_topk, batch_format="pyarrow", batch_size=4096)
+        emb.map_batches(local_topk, batch_format="pyarrow", runtime_env=_RENV, batch_size=4096)
         .groupby("query_id")
-        .map_groups(global_topk, batch_format="pandas")
+        .map_groups(global_topk, batch_format="pandas", runtime_env=_RENV)
         .to_pandas()
     )
     out["cos_r"] = out["cos"].round(5)
@@ -148,9 +150,9 @@ def ivf_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
         return g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
 
     out = (
-        emb.map_batches(assign_and_search, batch_format="pyarrow", batch_size=4096)
+        emb.map_batches(assign_and_search, batch_format="pyarrow", runtime_env=_RENV, batch_size=4096)
         .groupby("query_id")
-        .map_groups(global_topk, batch_format="pandas")
+        .map_groups(global_topk, batch_format="pandas", runtime_env=_RENV)
         .to_pandas()
     )
     out["cos_r"] = out["cos"].round(5)

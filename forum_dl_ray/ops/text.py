@@ -20,6 +20,8 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
+from forum_dl_ray import STAGE_RUNTIME_ENV as _RENV
+
 _TOKEN_RE = re.compile(r"\S+")
 # BPE-ish subword split: runs of letters, digits, or single punctuation
 _BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
@@ -54,7 +56,7 @@ def token_counts(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    return ds.map_batches(f, batch_format="pyarrow", batch_size=8192)
+    return ds.map_batches(f, batch_format="pyarrow", runtime_env=_RENV, batch_size=8192)
 
 
 def text_stats(sf_dir: str) -> rd.Dataset:
@@ -81,7 +83,7 @@ def text_stats(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    return ds.map_batches(f, batch_format="pyarrow", batch_size=8192)
+    return ds.map_batches(f, batch_format="pyarrow", runtime_env=_RENV, batch_size=8192)
 
 
 class LangId:
@@ -118,7 +120,7 @@ class LangId:
 
 def lang_id(sf_dir: str) -> rd.Dataset:
     ds = _read_docs(sf_dir, ["doc_id", "text"])
-    return ds.map_batches(LangId, batch_format="pyarrow", batch_size=4096, concurrency=2)
+    return ds.map_batches(LangId, batch_format="pyarrow", runtime_env=_RENV, batch_size=4096, concurrency=2)
 
 
 _FP_BASE = np.uint64(1099511628211)
@@ -140,7 +142,7 @@ def fingerprints(sf_dir: str) -> rd.Dataset:
         fps = [_rolling_fingerprint(t) for t in batch["text"].to_pylist()]
         return pa.table({"doc_id": batch["doc_id"], "fingerprint": pa.array(fps, pa.int64())})
 
-    return ds.map_batches(f, batch_format="pyarrow", batch_size=8192)
+    return ds.map_batches(f, batch_format="pyarrow", runtime_env=_RENV, batch_size=8192)
 
 
 def token_hashes(texts: list[str], shingle: int = 3) -> list[np.ndarray]:
@@ -187,4 +189,4 @@ def simhashes(sf_dir: str) -> rd.Dataset:
         sh = simhash64(batch["text"].to_pylist())
         return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(sh, pa.int64())})
 
-    return ds.map_batches(f, batch_format="pyarrow", batch_size=8192)
+    return ds.map_batches(f, batch_format="pyarrow", runtime_env=_RENV, batch_size=8192)
