@@ -48,7 +48,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from forum_dl_ray.ops import dedup, queries as q, similarity, text
+    from forum_dl_ray.ops import dedup, images_ops, queries as q, similarity, text
 
     out: dict[str, Callable[[str], Any]] = {
         # --- relational / aggregate (SURVEY.md A1/A3/A8, M23 analogs) ---
@@ -73,6 +73,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_brute_topk": lambda sf: similarity.brute_topk(sf, QUERY_VEC_IDS, k=10),
         "ann_ivf_topk": lambda sf: similarity.ivf_topk(sf, QUERY_VEC_IDS, k=10),
+        # --- multimodal / image payload ---
+        "image_decode_stats": images_ops.image_decode_stats,
+        "image_psnr_check": images_ops.image_psnr_check,
+        "image_phash_neardup": images_ops.image_phash_neardup,
+        "image_thumbnails": images_ops.image_thumbnails,
+        "image_embeddings": images_ops.image_embeddings,
         # --- crawl engine (rows-only; golden parity in tests) ---
         "crawl_entries_ordered": _crawl_entries,
         "crawl_seen_set": _crawl_seen,
@@ -121,7 +127,26 @@ def _crawl_images(sf_dir: str) -> Any:
 
 def oracle_sql() -> dict[str, str]:
     tok_list = r"regexp_split_to_array(trim(text), '\s+')"
+    # the image payload fixture is deterministic (seeded, digest-cached);
+    # DuckDB reads the same parquet the Ray pipelines decode, asserting
+    # every decode/dims/phash invariant came back TRUE
+    from forum_dl_ray.ops.images_ops import images_table_path
+
+    img_pq = images_table_path()
     return {
+        "image_decode_stats": f"""
+            SELECT image_id, w, h, fmt, caption,
+                   TRUE AS decode_ok, TRUE AS dims_match, TRUE AS phash_ok
+            FROM read_parquet('{img_pq}')
+        """,
+        "image_psnr_check": f"""
+            SELECT image_id, fmt, TRUE AS passes
+            FROM read_parquet('{img_pq}')
+        """,
+        "image_thumbnails": f"""
+            SELECT image_id, 32 AS thumb_w, 32 AS thumb_h
+            FROM read_parquet('{img_pq}')
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    sum(CAST(l_quantity AS BIGINT)) AS sum_qty,

@@ -26,6 +26,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -115,6 +116,46 @@ def minhash_bands(sf_dir: str, num_perm: int = 64, bands: int = 16, shingle: int
     )
 
 
+def _lsh_candidate_pairs(band_ds: rd.Dataset, keys: list[str], n_buckets: int = 128) -> pd.DataFrame:
+    """Distinct (id_a, id_b) sharing any LSH bucket.
+
+    A naive ``groupby(keys).map_groups`` makes one pandas group per
+    bucket — at 16 bands × n_docs that is O(corpus) mostly-singleton
+    groups and the per-group overhead dominates (measured 25 s at
+    5k docs). Instead: hash buckets into ``n_buckets`` coarse
+    partitions (ONE shuffle, bounded group count) and extract pairs
+    inside each partition vectorized — duplicated() mask drops the
+    singleton majority before any Python-level pairing."""
+    key_col = keys[-1]
+
+    def coarse(batch: pa.Table) -> pa.Table:
+        b = pc.bit_wise_and(batch[key_col], pa.scalar(n_buckets - 1, pa.int64()))
+        return batch.append_column("bucket", b)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g[g.duplicated(subset=keys, keep=False)]
+        if not len(dup):
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for _, grp in dup.groupby(keys, sort=False):
+            ids = sorted(set(grp["doc_id"]))
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        return pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
+                             "id_b": pd.Series(out_b, dtype="int64")})
+
+    return (
+        band_ds.map_batches(coarse, batch_format="pyarrow", runtime_env=_RENV, batch_size=65536)
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas", runtime_env=_RENV)
+        .to_pandas()
+    )
+
+
 def _jaccard(a: set, b: set) -> float:
     if not a and not b:
         return 1.0
@@ -127,18 +168,7 @@ def minhash_dedup_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
     Jaccard ≥ threshold. Returns (id_a, id_b, jacc_r) with id_a<id_b."""
     band_ds = minhash_bands(sf_dir, num_perm, bands, shingle)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"]))
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        pairs = [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
-        return pd.DataFrame(pairs, columns=["id_a", "id_b"])
-
-    cand = (
-        band_ds.groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas", runtime_env=_RENV)
-        .to_pandas()
-    )
+    cand = _lsh_candidate_pairs(band_ds, ["band_id", "band_hash"])
     if len(cand) == 0:
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                              "id_b": pd.Series([], dtype="int64"),
@@ -216,18 +246,9 @@ def simhash_dedup_pairs(sf_dir: str, max_hamming: int = 8) -> pd.DataFrame:
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"]))
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        pairs = [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
-        return pd.DataFrame(pairs, columns=["id_a", "id_b"])
-
-    cand = (
-        sh.map_batches(explode, batch_format="pyarrow", runtime_env=_RENV, batch_size=8192)
-        .groupby(["band_id", "band_key"])
-        .map_groups(bucket_pairs, batch_format="pandas", runtime_env=_RENV)
-        .to_pandas()
+    cand = _lsh_candidate_pairs(
+        sh.map_batches(explode, batch_format="pyarrow", runtime_env=_RENV, batch_size=8192),
+        ["band_id", "band_key"],
     )
     if len(cand) == 0:
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),

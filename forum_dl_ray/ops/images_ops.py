@@ -1,0 +1,285 @@
+"""Multimodal (image payload) pipelines over the synthetic fixture.
+
+Treats images as opaque ``binary`` columns with typed metadata — the
+BASELINE.json input_hint payload shape ``(image_id, bytes, w, h, fmt,
+caption, phash)`` — and runs decode / feature / resize / near-dup as
+Ray Data stages (actor pools for the decode-heavy ones, setup in
+``__init__``). Real image libraries are absent in this container:
+``png`` decode is a real minimal codec, ``jpeg`` a clearly-marked
+deterministic stand-in (forum_dl_ray/images.py docstring) — the
+Ray-side plumbing (schema, batch sizes, actor signature, output
+layout) is real and tested, per the multimodal-ops contract.
+
+The input table is the deterministic ``small_spec`` fixture images
+parquet (seeded; byte-identical across runs) — self-contained like the
+crawl queries, independent of the sf_dir tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from forum_dl_ray import STAGE_RUNTIME_ENV as _RENV
+
+from ..images import (
+    ImageDecodeStage,
+    decode_image,
+    encode_png,
+    phash64,
+    psnr,
+    resize_nearest,
+)
+
+# wide binary rows -> small batches (SURVEY.md §7.4)
+_IMG_BATCH = 128
+
+
+def images_table_path(sf_dir: str | None = None) -> str:
+    """Deterministic image payload table (generated once, cached)."""
+    from ..fixtures import generate_fixture, small_spec
+
+    return os.path.join(generate_fixture(small_spec()), "images.parquet")
+
+
+def _read_images(columns=None) -> rd.Dataset:
+    return rd.read_parquet(images_table_path(), columns=columns)
+
+
+def image_decode_stats(sf_dir: str) -> pd.DataFrame:
+    """Decode every payload (actor pool) and verify dims against the
+    typed metadata; returns (image_id, w, h, fmt, caption, decode_ok,
+    dims_match, phash_match). Columns w/h are the DECODED dims."""
+    ds = _read_images()
+    out = ds.map_batches(
+        ImageDecodeStage, batch_format="pyarrow", batch_size=_IMG_BATCH,
+        concurrency=2, runtime_env=_RENV,
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        dims_match = pc.and_(
+            pc.equal(batch["decoded_w"], batch["w"]),
+            pc.equal(batch["decoded_h"], batch["h"]),
+        )
+        # hamming(stored, decoded) — vectorized xor + bit count
+        x = np.bitwise_xor(
+            batch["phash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64),
+            batch["phash_computed"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64),
+        )
+        ham = np.unpackbits(x.view(np.uint8)).reshape(len(x), 8 * 8).sum(axis=1).astype(np.int64)
+        fmts = batch["fmt"].to_numpy(zero_copy_only=False)
+        # lossless must roundtrip phash exactly; the lossy stand-in may
+        # flip a few DCT-median bits (measured max 8 at quant step 4)
+        ok = np.where(fmts == "png", ham == 0, ham <= 10)
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "w": batch["decoded_w"],
+                "h": batch["decoded_h"],
+                "fmt": batch["fmt"],
+                "caption": batch["caption"],
+                "decode_ok": batch["decode_ok"],
+                "dims_match": dims_match,
+                "phash_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    df = out.map_batches(
+        project, batch_format="pyarrow", batch_size=1024, runtime_env=_RENV
+    ).to_pandas()
+    return df.sort_values("image_id").reset_index(drop=True)
+
+
+def image_psnr_check(sf_dir: str) -> pd.DataFrame:
+    """Per-row decoded-pixel invariant (BASELINE.json input_hint):
+    regenerate the reference pixels from the seeded generator and
+    assert PSNR ≥ 40 dB for the lossy format / exact for lossless.
+    Returns (image_id, fmt, passes)."""
+    from ..images import synth_pixels
+
+    ds = _read_images(["image_id", "bytes", "fmt", "w", "h"])
+
+    def check(batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        ws = batch["w"].to_pylist()
+        hs = batch["h"].to_pylist()
+        vals, passes = [], []
+        for i, raw in enumerate(blobs):
+            px = decode_image(raw, fmts[i])
+            ref = synth_pixels(ids[i], ws[i], hs[i])
+            p = psnr(ref, px)
+            capped = 999.0 if p == float("inf") else p
+            vals.append(int(round(capped * 10)))
+            passes.append(p >= 40.0)
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "fmt": batch["fmt"],
+                "passes": pa.array(passes, pa.bool_()),
+            }
+        )
+
+    df = ds.map_batches(
+        check, batch_format="pyarrow", batch_size=_IMG_BATCH, runtime_env=_RENV
+    ).to_pandas()
+    return df.sort_values("image_id").reset_index(drop=True)
+
+
+def image_phash_neardup(sf_dir: str, max_hamming: int = 12) -> pd.DataFrame:
+    """Near-duplicate images via 64-bit pHash banding (4×16-bit bucket
+    keys → shared-bucket candidates → exact hamming verify) — the same
+    LSH-bucket shuffle pattern as text simhash dedup."""
+    from .dedup import _lsh_candidate_pairs
+
+    ds = _read_images(["image_id", "phash"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = batch["image_id"].to_pylist()
+        hs = batch["phash"].to_pylist()
+        out_band, out_key, id_num = [], [], []
+        for d, h in zip(ids, hs):
+            u = h & ((1 << 64) - 1)
+            num = int.from_bytes(
+                hashlib.blake2b(d.encode(), digest_size=7).digest(), "little"
+            )
+            for band in range(4):
+                id_num.append(num)
+                out_band.append(band)
+                out_key.append((u >> (band * 16)) & 0xFFFF)
+        return pa.table(
+            {
+                "doc_id": pa.array(id_num, pa.int64()),
+                "band_id": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(out_key, pa.int64()),
+            }
+        )
+
+    band_ds = ds.map_batches(
+        explode, batch_format="pyarrow", batch_size=4096, runtime_env=_RENV
+    )
+    full = _read_images(["image_id", "phash"]).to_pandas()
+    import hashlib as _hl
+
+    num2id = {
+        int.from_bytes(_hl.blake2b(d.encode(), digest_size=7).digest(), "little"): d
+        for d in full["image_id"]
+    }
+    cand = _lsh_candidate_pairs(band_ds, ["band_id", "band_hash"])
+    if len(cand) == 0:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="str"),
+                             "id_b": pd.Series([], dtype="str"),
+                             "hamming": pd.Series([], dtype="int64")})
+    cand = cand.drop_duplicates()
+    pmap = dict(zip(full["image_id"], full["phash"]))
+    rows = []
+    for a, b in zip(cand["id_a"], cand["id_b"]):
+        ia, ib = sorted((num2id[int(a)], num2id[int(b)]))
+        ham = bin((pmap[ia] ^ pmap[ib]) & ((1 << 64) - 1)).count("1")
+        if ham <= max_hamming:
+            rows.append((ia, ib, ham))
+    out = pd.DataFrame(sorted(set(rows)), columns=["id_a", "id_b", "hamming"])
+    return out.astype({"hamming": "int64"}).reset_index(drop=True)
+
+
+class ThumbnailStage:
+    """Actor-pool resize stage: decode → nearest-neighbor downsample →
+    re-encode PNG. Real kernels (our codecs are numpy); a real
+    image-lib resize slots in behind the same batch signature."""
+
+    def __init__(self, thumb: int = 32):
+        self.thumb = thumb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        out_bytes, tws, ths = [], [], []
+        for raw, fmt in zip(blobs, fmts):
+            px = decode_image(raw, fmt)
+            t = resize_nearest(px, self.thumb, self.thumb)
+            out_bytes.append(encode_png(t))
+            tws.append(t.shape[1])
+            ths.append(t.shape[0])
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "thumb_bytes": pa.array(out_bytes, pa.binary()),
+                "thumb_w": pa.array(tws, pa.int32()),
+                "thumb_h": pa.array(ths, pa.int32()),
+            }
+        )
+
+
+def image_thumbnails(sf_dir: str) -> pd.DataFrame:
+    """Thumbnail pipeline; returns (image_id, thumb_w, thumb_h,
+    thumb_n_bytes) — the bytes stay in the pipeline (compare-light)."""
+    ds = _read_images(["image_id", "bytes", "fmt"])
+    out = ds.map_batches(
+        ThumbnailStage, batch_format="pyarrow", batch_size=_IMG_BATCH,
+        concurrency=2, runtime_env=_RENV,
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "thumb_w": batch["thumb_w"],
+                "thumb_h": batch["thumb_h"],
+            }
+        )
+
+    df = out.map_batches(
+        project, batch_format="pyarrow", batch_size=1024, runtime_env=_RENV
+    ).to_pandas()
+    return df.sort_values("image_id").reset_index(drop=True)
+
+
+class FakeEmbedStage:
+    """DETERMINISTIC STAND-IN for model-based image embedding (no
+    vision model exists in this container): mean-pools 4×4 patch
+    luminance into a 16-dim vector. A real encoder (CLIP et al.) drops
+    in behind the same (batch in → list<float> column out) signature
+    with weights loaded once per actor in __init__."""
+
+    def __init__(self, grid: int = 4):
+        self.grid = grid
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        vecs = []
+        for raw, fmt in zip(blobs, fmts):
+            px = decode_image(raw, fmt).astype(np.float32).mean(axis=2)
+            g = self.grid
+            t = resize_nearest(px[..., None], g, g)[..., 0]
+            v = (t / 255.0).flatten()
+            vecs.append([round(float(x), 4) for x in v])
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            }
+        )
+
+
+def image_embeddings(sf_dir: str) -> pd.DataFrame:
+    ds = _read_images(["image_id", "bytes", "fmt"])
+    out = ds.map_batches(
+        FakeEmbedStage, batch_format="pyarrow", batch_size=_IMG_BATCH,
+        concurrency=2, runtime_env=_RENV,
+    ).to_pandas()
+    out["embedding"] = out["embedding"].map(lambda v: [round(float(x), 4) for x in v])
+    return out.sort_values("image_id").reset_index(drop=True)

@@ -1,0 +1,34 @@
+"""Multimodal image-payload pipelines (rows-only surfaces).
+
+The oracled invariants (decode/dims/phash vs the fixture parquet) are
+covered by test_entry_oracle; these cover the non-SQL-expressible
+surfaces: near-dup pairing, embeddings, and determinism across runs.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from forum_dl_ray.ops import images_ops as io
+
+
+def test_phash_neardup_symmetric_and_thresholded(ray_session):
+    pairs = io.image_phash_neardup("x", max_hamming=12)
+    assert list(pairs.columns) == ["id_a", "id_b", "hamming"]
+    assert (pairs["hamming"] <= 12).all()
+    assert (pairs["id_a"] < pairs["id_b"]).all()
+    # widening the threshold can only add pairs
+    wider = io.image_phash_neardup("x", max_hamming=20)
+    assert len(wider) >= len(pairs)
+
+
+def test_embeddings_deterministic(ray_session):
+    a = io.image_embeddings("x")
+    b = io.image_embeddings("x")
+    assert len(a) == len(b) > 0
+    assert all(len(v) == 16 for v in a["embedding"])
+    assert a["image_id"].tolist() == b["image_id"].tolist()
+    assert a["embedding"].map(tuple).tolist() == b["embedding"].map(tuple).tolist()
+    # unit-ish range from the luminance pooling
+    assert all(0.0 <= x <= 1.0 for v in a["embedding"] for x in v)
