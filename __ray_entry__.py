@@ -83,8 +83,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_entries_ordered": _crawl_entries,
         "crawl_seen_set": _crawl_seen,
         "crawl_images_payload": _crawl_images,
+        # --- sinks (rows-only; format invariants in tests/test_sinks.py) ---
+        "jsonl_entry_lines": _jsonl_lines,
+        "mail_messages": _mail_messages,
     }
     return out
+
+
+def _jsonl_lines(sf_dir: str) -> Any:
+    """Entry-envelope JSONL lines of the micro crawl, in emission
+    order (S6/M21/M22 surface)."""
+    import pandas as pd
+
+    from forum_dl_ray.crawl.crawler import entries_dataset
+    from forum_dl_ray.sinks import write_entries_jsonl
+
+    out = "/tmp/fdr_entry_jsonl"
+    write_entries_jsonl(
+        entries_dataset(_crawl_out_dir()).filter(expr="type != 'lineage'"),
+        out, extractor="html-generic", download_time="2026-01-01T00:00:00+00:00",
+    )
+    import glob
+
+    lines = []
+    for p in sorted(glob.glob(os.path.join(out, "part-*.jsonl"))):
+        lines += open(p).read().splitlines()
+    return pd.DataFrame({"line_no": range(len(lines)), "line": lines})
+
+
+def _mail_messages(sf_dir: str) -> Any:
+    """Foldered mail message headers of the micro crawl (S7/M18-M20 +
+    J3 surface; bodies covered by tests)."""
+    from forum_dl_ray.crawl.crawler import entries_dataset
+    from forum_dl_ray.sinks import MailOptions, build_mail_messages
+
+    df = build_mail_messages(
+        entries_dataset(_crawl_out_dir()),
+        MailOptions(author_as_addr_spec=True),
+    ).to_pandas()
+    df["n_bytes"] = df["message"].str.len().astype("int64")
+    return df.drop(columns=["message"]).sort_values("order_key").reset_index(drop=True)
 
 
 def _crawl_out_dir() -> str:
