@@ -1,0 +1,138 @@
+"""Programmatic API — the reference's ``ForumDl`` facade re-expressed.
+
+Reference surface (/root/reference/forum_dl/forumdl.py:15-54):
+``download(urls, output_format, ...)``, ``list_extractors()``,
+``list_output_formats()``; per URL it runs extractor detection in
+registry order (extractors/__init__.py:27-37, first non-None detect
+wins) then streams the crawl into the chosen writer.
+
+Here the "network" is a page-store parquet (the fixture contract —
+an HTTP fetcher drops in behind the same fetch seam,
+crawl/fetch.py), detection runs driver-side against the store
+(S11/J5 are a handful of seed probes), and the crawl itself is the
+wave scheduler over the frontier actor pool. Sinks: jsonl, mbox
+(foldered mail), parquet (raw entry table), urls (--get-urls dry
+run, S9).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from .crawl import CrawlConfig, Crawler
+from .crawl.crawler import entries_dataset, ordered_items
+from .engines import DETECTION_ORDER, detect_engine
+from .urlnorm import host_of, normalize_url
+
+OUTPUT_FORMATS = ["jsonl", "mbox", "parquet", "urls"]
+
+
+@dataclass
+class DownloadOptions:
+    textify: bool = False
+    content_as_title: bool = False
+    author_as_addr_spec: bool = False
+    get_urls: bool = False
+    host_rates: dict = field(default_factory=dict)
+    robots: dict = field(default_factory=dict)
+    num_shards: int = 4
+    download_time: str = "2026-01-01T00:00:00+00:00"
+
+
+def list_extractors() -> list[str]:
+    """Engine registry in detection order (reference list_extractors)."""
+    return list(DETECTION_ORDER)
+
+
+def list_output_formats() -> list[str]:
+    return list(OUTPUT_FORMATS)
+
+
+def detect(url: str, pages_source: str) -> str | None:
+    """Classify a seed URL by probing the page store with the engine
+    registry (driver-side: detection is a handful of fetches)."""
+    from .crawl.fetch import get_store
+
+    store = get_store(os.path.join(pages_source, "pages.parquet"))
+    url = normalize_url(url)
+    rows = store.lookup([url])
+    if rows[0] < 0:
+        return None
+    body = store.table["body"][rows[0]].as_py()
+    return detect_engine(url, body)
+
+
+def download(
+    urls: list[str],
+    pages_source: str,
+    out_dir: str,
+    output_format: str = "jsonl",
+    options: DownloadOptions | None = None,
+) -> dict:
+    """Crawl the given seed URLs and write the chosen output format.
+    Returns the crawl stats dict (+ ``sink`` summary)."""
+    opts = options or DownloadOptions()
+    if output_format not in OUTPUT_FORMATS:
+        raise ValueError(f"unknown output format {output_format!r}; see list_output_formats()")
+
+    seeds = []
+    for i, url in enumerate(urls):
+        engine = detect(url, pages_source)
+        if engine is None:
+            raise ValueError(f"no engine detects {url!r}")
+        seeds.append(
+            {"seed_url": normalize_url(url), "engine": engine,
+             "base_url": url, "host": host_of(url), "politeness_budget": 0.0}
+        )
+
+    cfg = CrawlConfig(
+        num_shards=opts.num_shards,
+        host_rates=dict(opts.host_rates),
+        robots=dict(opts.robots),
+        fetch_assets=not (opts.get_urls or output_format == "urls"),
+    )
+    crawl_dir = os.path.join(out_dir, "crawl")
+    stats = Crawler(pages_source, crawl_dir, cfg, seeds=seeds).run()
+
+    if output_format == "urls" or opts.get_urls:
+        import pyarrow.parquet as pq
+
+        seen = pq.read_table(os.path.join(crawl_dir, "seen.parquet"))
+        path = os.path.join(out_dir, "urls.txt")
+        with open(path, "w") as f:
+            for u in sorted(seen["url"].to_pylist()):
+                f.write(u + "\n")
+        stats["sink"] = {"format": "urls", "path": path, "n": seen.num_rows}
+    elif output_format == "parquet":
+        stats["sink"] = {"format": "parquet", "path": os.path.join(crawl_dir, "entries")}
+    elif output_format == "jsonl":
+        from .sinks import write_entries_jsonl
+
+        d = os.path.join(out_dir, "entries_jsonl")
+        write_entries_jsonl(
+            entries_dataset(crawl_dir).filter(expr="type != 'lineage'"),
+            d, extractor="+".join(sorted({s["engine"] for s in seeds})),
+            download_time=opts.download_time,
+        )
+        stats["sink"] = {"format": "jsonl", "path": d}
+    elif output_format == "mbox":
+        from .sinks import MailOptions, write_mbox_folders
+
+        d = os.path.join(out_dir, "mbox")
+        folders = write_mbox_folders(
+            entries_dataset(crawl_dir),
+            d,
+            MailOptions(
+                textify=opts.textify,
+                content_as_title=opts.content_as_title,
+                author_as_addr_spec=opts.author_as_addr_spec,
+            ),
+        )
+        stats["sink"] = {"format": "mbox", "path": d, "n_folders": len(folders)}
+    return stats
+
+
+def ordered_entry_stream(out_dir: str):
+    """Ordered item stream of a finished download (A2 oracle surface)."""
+    return ordered_items(os.path.join(out_dir, "crawl"))

@@ -75,13 +75,25 @@ class CrawlConfig:
     flaky_rate: float = 0.0
     max_waves: int = 100_000
     capacity_per_shard: int = 1_000_000
+    fetch_assets: bool = True      # False = --get-urls style dry run:
+                                   # discover + record asset URLs, skip download
 
 
 class Crawler:
-    def __init__(self, fixture_dir: str, out_dir: str, config: CrawlConfig | None = None):
+    def __init__(
+        self,
+        fixture_dir: str,
+        out_dir: str,
+        config: CrawlConfig | None = None,
+        seeds: list[dict] | None = None,
+    ):
         self.fixture_dir = fixture_dir
         self.pages_path = os.path.join(fixture_dir, "pages.parquet")
-        self.seeds = json.load(open(os.path.join(fixture_dir, "seeds.json")))
+        self.seeds = (
+            seeds
+            if seeds is not None
+            else json.load(open(os.path.join(fixture_dir, "seeds.json")))
+        )
         self.out_dir = out_dir
         self.config = config or CrawlConfig()
         self.entries_dir = os.path.join(out_dir, "entries")
@@ -249,8 +261,10 @@ class Crawler:
             pages_t = t.filter(pc.invert(is_asset))
             assets_t = t.filter(is_asset)
 
+            if not cfg.fetch_assets:
+                assets_t = assets_t.slice(0, 0)  # discovered+seen, not downloaded
             if t.num_rows < cfg.inline_below:
-                run_inline(t, wave)
+                run_inline(t if cfg.fetch_assets else pages_t, wave)
             else:
                 if pages_t.num_rows:
                     inflight.append(pool.submit(run_pages, pages_t, wave))
