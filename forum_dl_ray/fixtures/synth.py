@@ -449,3 +449,23 @@ def steady_big_spec() -> FixtureSpec:
         s.threads_per_board *= 8
     spec.name = "steady-big"
     return spec
+
+
+def mixed_spec() -> FixtureSpec:
+    """One site per engine — cursor-style diversity e2e (ST4):
+    html pagination chains, json-stream multi-chunk id streams
+    (posts_per_thread > CHUNK=20), json-registry story/kids trees."""
+    return FixtureSpec(
+        name="mixed",
+        sites=[
+            SiteSpec(host="alpha.test", engine="html-generic", n_top_boards=2,
+                     sub_levels=1, subboards_per_board=1, threads_per_board=2,
+                     threads_per_page=2, posts_per_thread=4, posts_per_page=3,
+                     image_rate=0.3, fail_rate=0.0, seed=42),
+            SiteSpec(host="stream.test", engine="json-stream", n_top_boards=2,
+                     threads_per_board=3, threads_per_page=2, posts_per_thread=25,
+                     image_rate=0.15, seed=70),
+            SiteSpec(host="news.test", engine="json-registry", n_top_boards=1,
+                     threads_per_board=4, posts_per_thread=10, seed=71),
+        ],
+    )

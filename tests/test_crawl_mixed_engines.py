@@ -1,0 +1,74 @@
+"""Multi-engine crawl parity: html + json-stream + json-registry.
+
+Exercises the cursor-style diversity of SURVEY.md ST4 end-to-end:
+html pagination chains, Discourse-style multi-chunk post-id streams
+(posts_per_thread > CHUNK), and HN-style story/kids trees — all in
+ONE crawl, validated against the golden sequential walkers.
+"""
+
+import os
+import sys
+
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from forum_dl_ray.crawl import CrawlConfig, Crawler
+from forum_dl_ray.crawl.crawler import ordered_items
+from forum_dl_ray.fixtures import generate_fixture
+from forum_dl_ray.fixtures.golden import simulate_fixture_dir
+from forum_dl_ray.fixtures.synth import mixed_spec
+
+ITEM_COLS = ["type", "path", "subpath", "url", "origin", "title", "author",
+             "creation_time", "content", "content_type", "order_key"]
+
+
+@pytest.fixture(scope="module")
+def fixture_dir():
+    return generate_fixture(mixed_spec())
+
+
+@pytest.fixture(scope="module")
+def golden(fixture_dir):
+    return simulate_fixture_dir(fixture_dir)
+
+
+@pytest.fixture(scope="module")
+def crawl_out(ray_session, fixture_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("out") / "crawl")
+    Crawler(fixture_dir, out, CrawlConfig(num_shards=2, target_tasks=4)).run()
+    return out
+
+
+def test_mixed_seen_set(crawl_out, golden):
+    seen = pq.read_table(os.path.join(crawl_out, "seen.parquet")).to_pylist()
+    got = {r["url"]: r["failed"] for r in seen}
+    assert got == golden.seen
+
+
+def test_mixed_ordered_items(crawl_out, golden):
+    df = ordered_items(crawl_out).to_pandas()
+    assert len(df) == len(golden.entries)
+    for col in ITEM_COLS:
+        want = [e[col] for e in golden.entries]
+        have = df[col].tolist()
+        if col == "creation_time":
+            import pandas as pd
+
+            have = [None if pd.isna(v) else v.to_pydatetime() for v in df[col]]
+        assert have == want, f"column {col} diverges"
+
+
+def test_mixed_per_engine_coverage(crawl_out, golden):
+    df = ordered_items(crawl_out).to_pandas()
+    by_host = df.groupby(df["origin"].str.extract(r"http://([^/]+)/")[0])
+    hosts = set(by_host.groups.keys())
+    assert hosts == {"alpha.test", "stream.test", "news.test"}
+    # multi-chunk stream thread: 25 posts > CHUNK=20 all present
+    stream_posts = df[(df["type"] == "post") & df["origin"].str.contains("stream.test")]
+    assert len(stream_posts) == golden.hashes["stream.test"]["post_count"]
+    # registry: every story has its comment tree (reply subpaths nest)
+    news_posts = df[(df["type"] == "post") & df["origin"].str.contains("news.test")]
+    assert len(news_posts) == golden.hashes["news.test"]["post_count"]
+    assert any(len(eval(s)) > 2 for s in news_posts["subpath"])
