@@ -86,8 +86,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- sinks (rows-only; format invariants in tests/test_sinks.py) ---
         "jsonl_entry_lines": _jsonl_lines,
         "mail_messages": _mail_messages,
+        # --- A2 conformance hashes (reference test_extractors.py:88-109) ---
+        "crawl_oracle_hashes": _crawl_hashes,
     }
     return out
+
+
+def _crawl_hashes(sf_dir: str) -> Any:
+    """Per-seed SHA-1 titles/contents hashes over the ordered item
+    stream — the reference's golden-output oracle (A2), computed from
+    the Ray crawl AND asserted equal to the sequential golden
+    simulator before returning."""
+    import hashlib
+
+    import pandas as pd
+
+    from forum_dl_ray.crawl.crawler import ordered_items
+    from forum_dl_ray.fixtures import generate_fixture, micro_spec
+    from forum_dl_ray.fixtures.golden import simulate_fixture_dir
+
+    df = ordered_items(_crawl_out_dir()).to_pandas()
+    host = df["origin"].str.extract(r"http://([^/]+)/")[0]
+    rows = []
+    for h, g in df.groupby(host, sort=True):
+        titles = [t for t, ty in zip(g["title"], g["type"]) if ty in ("board", "thread")]
+        contents = [c for c, ty in zip(g["content"], g["type"]) if ty == "post"]
+        rows.append(
+            {
+                "host": h,
+                "titles_sha1": hashlib.sha1("\0".join(titles).encode()).hexdigest(),
+                "contents_sha1": hashlib.sha1("\0".join(contents).encode()).hexdigest(),
+                "item_count": len(g),
+                "post_count": len(contents),
+            }
+        )
+    got = pd.DataFrame(rows).sort_values("host").reset_index(drop=True)
+    golden = simulate_fixture_dir(generate_fixture(micro_spec()))
+    for r in got.itertuples():
+        gh = golden.hashes[r.host]
+        assert r.titles_sha1 == gh["titles_sha1"], r.host
+        assert r.contents_sha1 == gh["contents_sha1"], r.host
+    return got
 
 
 def _jsonl_lines(sf_dir: str) -> Any:
