@@ -191,13 +191,15 @@ def _parse_html_row(
         parsed = eng.parse_thread_page(body, url)
         k = cursor.get("k", 0)
         stack = list(cursor.get("stack", []))
+        path_json = path_to_json(path)  # invariant across the page's rows
         for p in parsed["posts"]:
             advance_stack(stack, p["indent"], p["pid"])
             subpath = list(stack)
+            subpath_json = path_to_json(subpath)
             p_key = okx(key, 1, k)
             out_entries.append(
                 _entry_row(
-                    type="post", path=path_to_json(path), subpath=path_to_json(subpath),
+                    type="post", path=path_json, subpath=subpath_json,
                     url=url, origin=url, author=p["author"],
                     creation_time=datetime.fromisoformat(p["time_iso"]) if p["time_iso"] else None,
                     content=p["content"], order_key=okx(p_key, 0),
@@ -207,7 +209,7 @@ def _parse_html_row(
                 _image_id, ext = image_id_from_url(img_url)
                 out_entries.append(
                     _entry_row(
-                        type="file", path=path_to_json(path),
+                        type="file", path=path_json,
                         subpath=path_to_json(subpath + [str(f_idx)]),
                         url=img_url, origin=url, content_type=f"image/{ext}",
                         order_key=okx(p_key, 1, f_idx),

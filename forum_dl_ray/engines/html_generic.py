@@ -21,9 +21,7 @@ cursors survive normalization (common.py:35-62 semantics).
 from __future__ import annotations
 
 import re
-from urllib.parse import urljoin
-
-from ..urlnorm import normalize_url
+from ..urlnorm import join_canon
 
 MARKER = b'<meta name="generator" content="synthforum/1.0">'
 
@@ -44,7 +42,7 @@ KEEP_QUERIES = ("page",)
 
 
 def canon(href: str, base_url: str) -> str:
-    return normalize_url(urljoin(base_url, href), keep_queries=KEEP_QUERIES)
+    return join_canon(href, base_url, keep_queries=KEEP_QUERIES)
 
 
 def detect(url: str, body: bytes) -> bool:

@@ -16,13 +16,11 @@ Site shape (synthetic):
 from __future__ import annotations
 
 import json
-from urllib.parse import urljoin
-
-from ..urlnorm import normalize_url
+from ..urlnorm import join_canon
 
 
 def canon(href: str, base_url: str) -> str:
-    return normalize_url(urljoin(base_url, href))
+    return join_canon(href, base_url)
 
 
 def detect(url: str, body: bytes) -> bool:

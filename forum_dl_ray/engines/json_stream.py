@@ -18,16 +18,14 @@ Site shape (synthetic):
 from __future__ import annotations
 
 import json
-from urllib.parse import urljoin
-
-from ..urlnorm import normalize_url
+from ..urlnorm import join_canon
 
 CHUNK = 20
 KEEP_QUERIES = ("page", "ids")
 
 
 def canon(href: str, base_url: str) -> str:
-    return normalize_url(urljoin(base_url, href), keep_queries=KEEP_QUERIES)
+    return join_canon(href, base_url, keep_queries=KEEP_QUERIES)
 
 
 def detect(url: str, body: bytes) -> bool:

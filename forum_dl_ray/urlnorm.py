@@ -60,6 +60,34 @@ def normalize_url(
     return str(new_url)
 
 
+def join_canon(href: str, base_url: str, keep_queries: tuple[str, ...] = ()) -> str:
+    """``normalize_url(urljoin(base_url, href), keep_queries=...)`` with
+    a fast path for the overwhelmingly common case (root-relative href,
+    no query/fragment) — the parse stage canonicalizes every discovered
+    link, and urlparse dominates its profile otherwise. MUST return the
+    exact same string as the slow path (tested property)."""
+    if href.startswith("/") and not href.startswith("//"):
+        p = base_url.find("/", base_url.find("://") + 3)
+        full = (base_url[:p] if p > 0 else base_url) + href
+    elif "://" in href[:10]:
+        full = href
+    else:
+        from urllib.parse import urljoin
+
+        return normalize_url(urljoin(base_url, href), keep_queries=keep_queries)
+    if "?" not in full and "#" not in full and ";" not in full:
+        t = full
+        if t.endswith("/"):
+            t = t[:-1]
+        for suffix in _DEFAULT_REMOVE_SUFFIXES:
+            if t.endswith(suffix):
+                t = t[: -len(suffix)]
+        if t.endswith("/"):
+            t = t[:-1]
+        return t + "/"
+    return normalize_url(full, keep_queries=keep_queries)
+
+
 def get_relative_url(url: str, base_url: str) -> str:
     """Path of ``url`` relative to ``base_url``'s path.
 
@@ -75,7 +103,16 @@ def get_relative_url(url: str, base_url: str) -> str:
 
 
 def host_of(url: str) -> str:
-    return urlparse(url).netloc
+    """netloc of a URL (string fast path; runs per frontier offer)."""
+    i = url.find("://")
+    if i < 0:
+        return urlparse(url).netloc
+    rest = url[i + 3 :]
+    for stop in ("/", "?", "#"):
+        j = rest.find(stop)
+        if j >= 0:
+            rest = rest[:j]
+    return rest
 
 
 def url_hash64(url: str) -> int:

@@ -50,3 +50,25 @@ def test_hash64_stable_and_batch_consistent():
     assert [url_hash64(u) for u in urls] == batch.tolist()
     assert url_hash64("https://a.example/") == url_hash64("https://a.example/")
     assert len(set(batch.tolist())) == 100
+
+
+def test_join_canon_equals_slow_path():
+    from urllib.parse import urljoin
+
+    from forum_dl_ray.urlnorm import join_canon, normalize_url
+
+    cases = [
+        ("/thread/t3", "http://alpha.test/board/b1/", ("page",)),
+        ("/board/b1?page=2", "http://alpha.test/", ("page",)),
+        ("/img/x-im00001.png", "http://hot.delta.test/thread/t9?page=3", ()),
+        ("http://beta.test/index.php", "http://alpha.test/", ()),
+        ("/", "http://alpha.test/", ("page",)),
+        ("/api/t/t1/posts.json?ids=1,2,3", "http://s.test/api/index.json", ("page", "ids")),
+        ("rel/path", "http://alpha.test/a/b/", ()),
+        ("/a/index.php", "http://alpha.test/", ()),
+        ("/a#frag", "http://alpha.test/", ()),
+    ]
+    for href, base, keep in cases:
+        assert join_canon(href, base, keep) == normalize_url(
+            urljoin(base, href), keep_queries=keep
+        ), (href, base, keep)
