@@ -58,6 +58,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed": q.events_windowed,
         "customers_per_region": q.customers_per_region,
         "filter_project_lineitem": q.filter_project_lineitem,
+        "revenue_by_nation": q.revenue_by_nation,
+        "quality_filter": q.quality_filter,
+        "top_docs_by_len": q.top_docs_by_len,
         # --- text analysis ---
         "token_counts": text.token_counts,
         "text_stats": text.text_stats,
@@ -286,6 +289,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "exact_dedup_keepers": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_c,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "quality_filter": f"""
+            WITH s AS (
+                SELECT doc_id,
+                       len({tok_list}) AS n_tokens,
+                       list_aggregate(list_transform({tok_list}, x -> length(x)), 'max') AS mx,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000
+                           // greatest(1, length(text)) AS alpha_ratio_e3
+                FROM documents)
+            SELECT doc_id, n_tokens, alpha_ratio_e3 FROM s
+            WHERE n_tokens >= 10 AND mx <= 40 AND alpha_ratio_e3 >= 500
+        """,
+        "top_docs_by_len": """
+            SELECT doc_id, length(text) AS n_chars_m FROM documents
+            ORDER BY n_chars_m DESC, doc_id LIMIT 20
         """,
         "ann_brute_topk": """
             WITH q AS (

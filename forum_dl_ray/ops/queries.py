@@ -221,3 +221,103 @@ def filter_project_lineitem(sf_dir: str) -> rd.Dataset:
         return t.select(["l_orderkey", "l_linenumber", "l_returnflag"])
 
     return ds.map_batches(f, batch_format="pyarrow", runtime_env=_RENV, batch_size=65536)
+
+
+# ----------------------------------------------- quality filter (gate docs)
+def quality_filter(sf_dir: str, min_tokens: int = 10, max_token_len: int = 40,
+                   min_alpha_ratio_e3: int = 500) -> pd.DataFrame:
+    """Training-data quality gate: keep documents passing token-count,
+    max-token-length, and alpha-character-ratio thresholds — the
+    classic pre-training corpus filter, fully vectorized per batch;
+    returns kept (doc_id, n_tokens, alpha_ratio_e3)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_pylist()
+        keep_id, keep_tok, keep_ratio = [], [], []
+        for d, t in zip(ids, texts):
+            toks = t.split()
+            if len(toks) < min_tokens:
+                continue
+            if toks and max(len(w) for w in toks) > max_token_len:
+                continue
+            n_alpha = sum(1 for ch in t if ch.isalpha())
+            ratio_e3 = n_alpha * 1000 // max(1, len(t))
+            if ratio_e3 < min_alpha_ratio_e3:
+                continue
+            keep_id.append(d)
+            keep_tok.append(len(toks))
+            keep_ratio.append(ratio_e3)
+        return pa.table(
+            {
+                "doc_id": pa.array(keep_id, pa.int64()),
+                "n_tokens": pa.array(keep_tok, pa.int64()),
+                "alpha_ratio_e3": pa.array(keep_ratio, pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(f, batch_format="pyarrow", runtime_env=_RENV, batch_size=8192).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# --------------------------------------------------- sort + limit (A6 top-k)
+def top_docs_by_len(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Longest-k documents: per-batch local top-k (combiner) before the
+    tiny global sort-limit — never a full global sort of the corpus."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        n = pc.cast(pc.utf8_length(batch["text"]), pa.int64())
+        t = pa.table({"doc_id": batch["doc_id"], "n_chars_m": n})
+        order = pc.sort_indices(
+            t, sort_keys=[("n_chars_m", "descending"), ("doc_id", "ascending")]
+        )
+        return t.take(order[:k])
+
+    out = (
+        ds.map_batches(local_topk, batch_format="pyarrow", runtime_env=_RENV, batch_size=8192)
+        .to_pandas()
+    )
+    out = out.sort_values(["n_chars_m", "doc_id"], ascending=[False, True]).head(k)
+    return out.reset_index(drop=True)
+
+
+# ------------------------------------- dimension-chain join over fact table
+def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Revenue per customer nation: broadcast the (custkey -> nation
+    name) map built from the small dimension chain, then a combiner
+    aggregation over the lineitem⋈orders fact side. The orders->cust
+    map is itself broadcast (orders ≪ lineitem)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
+    c2n = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    n2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    o2nation = {
+        int(o): n2name[c2n[int(c)]] for o, c in zip(orders["o_orderkey"], orders["o_custkey"])
+    }
+    ref = ray.put(o2nation)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        df = batch.to_pandas()
+        df["n_name"] = [lookup[int(o)] for o in df["l_orderkey"]]
+        df["rev_c"] = np.floor(
+            df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy()) * 100.0 + 0.5
+        ).astype(np.int64)
+        g = df.groupby("n_name", as_index=False).agg(
+            revenue_c=("rev_c", "sum"), n_items=("rev_c", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", runtime_env=_RENV, batch_size=65536)
+        .groupby("n_name")
+        .aggregate(Sum("revenue_c", alias_name="revenue_c"), Sum("n_items", alias_name="n_items"))
+        .to_pandas()
+    )
+    return out.sort_values("n_name").reset_index(drop=True)
