@@ -25,7 +25,7 @@ def main(argv: list[str] | None = None) -> int:
                    help="fixture dir with pages.parquet (the simulated network)")
     p.add_argument("--out", required=True, help="output directory")
     p.add_argument("-o", "--output-format", default="jsonl",
-                   choices=["jsonl", "mbox", "parquet", "urls"])
+                   choices=["jsonl", "mbox", "maildir", "mh", "mmdf", "babyl", "parquet", "urls"])
     p.add_argument("--textify", action="store_true")
     p.add_argument("--content-as-title", action="store_true")
     p.add_argument("--author-as-addr-spec", action="store_true")

@@ -25,7 +25,7 @@ from .crawl.crawler import entries_dataset, ordered_items
 from .engines import DETECTION_ORDER, detect_engine
 from .urlnorm import host_of, normalize_url
 
-OUTPUT_FORMATS = ["jsonl", "mbox", "parquet", "urls"]
+OUTPUT_FORMATS = ["jsonl", "mbox", "maildir", "mh", "mmdf", "babyl", "parquet", "urls"]
 
 
 @dataclass
@@ -116,20 +116,21 @@ def download(
             download_time=opts.download_time,
         )
         stats["sink"] = {"format": "jsonl", "path": d}
-    elif output_format == "mbox":
-        from .sinks import MailOptions, write_mbox_folders
+    elif output_format in ("mbox", "maildir", "mh", "mmdf", "babyl"):
+        from .sinks import MailOptions, write_mail
 
-        d = os.path.join(out_dir, "mbox")
-        folders = write_mbox_folders(
+        d = os.path.join(out_dir, output_format)
+        folders = write_mail(
             entries_dataset(crawl_dir),
             d,
-            MailOptions(
+            fmt=output_format,
+            opts=MailOptions(
                 textify=opts.textify,
                 content_as_title=opts.content_as_title,
                 author_as_addr_spec=opts.author_as_addr_spec,
             ),
         )
-        stats["sink"] = {"format": "mbox", "path": d, "n_folders": len(folders)}
+        stats["sink"] = {"format": output_format, "path": d, "n_folders": len(folders)}
     return stats
 
 

@@ -15,7 +15,7 @@ warc (lineage), plus the --textify / --content-as-title /
 
 from .envelope import entry_envelope, to_jsonl_lines
 from .jsonl import JsonlDatasink, write_entries_jsonl
-from .mail import MailOptions, build_mail_messages, write_mbox_folders
+from .mail import MailOptions, build_mail_messages, write_mail, write_mbox_folders
 
 __all__ = [
     "entry_envelope",
@@ -24,5 +24,6 @@ __all__ = [
     "write_entries_jsonl",
     "MailOptions",
     "build_mail_messages",
+    "write_mail",
     "write_mbox_folders",
 ]

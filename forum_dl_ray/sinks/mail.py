@@ -197,14 +197,96 @@ def write_mbox_folders(entries_ds, out_dir: str, opts: MailOptions | None = None
     """Foldered mbox sink (reference FolderedMailWriter): one mbox per
     board folder, messages in emission order. Returns (folder,
     n_messages) rows."""
+    return _write_mail(entries_ds, out_dir, opts, _write_folder)
+
+
+def _write_maildir(g: pd.DataFrame, out_dir: str) -> pd.DataFrame:
+    """Maildir: one file per message under <folder>/cur, deterministic
+    names (order key + msgid hash — a retried task overwrites)."""
+    g = g.sort_values("order_key")
+    folder = g["folder"].iloc[0] or "root"
+    base = os.path.join(out_dir, folder.rstrip("/"))
+    for sub in ("cur", "new", "tmp"):
+        os.makedirs(os.path.join(base, sub), exist_ok=True)
+    for r in g.itertuples():
+        h = hashlib.blake2b(r.message_id.encode(), digest_size=8).hexdigest()
+        name = f"{r.order_key}.{h}.fdr:2,S"
+        with open(os.path.join(base, "cur", name), "w", encoding="utf-8") as f:
+            f.write(r.message)
+    return pd.DataFrame({"folder": [folder], "n_messages": [len(g)]})
+
+
+def _write_mh(g: pd.DataFrame, out_dir: str) -> pd.DataFrame:
+    """MH: numbered message files (1..n in emission order) per folder."""
+    g = g.sort_values("order_key")
+    folder = g["folder"].iloc[0] or "root"
+    base = os.path.join(out_dir, folder.rstrip("/"))
+    os.makedirs(base, exist_ok=True)
+    for i, r in enumerate(g.itertuples(), start=1):
+        with open(os.path.join(base, str(i)), "w", encoding="utf-8") as f:
+            f.write(r.message)
+    return pd.DataFrame({"folder": [folder], "n_messages": [len(g)]})
+
+
+def _write_mmdf(g: pd.DataFrame, out_dir: str) -> pd.DataFrame:
+    """MMDF: ^A^A^A^A delimited messages, one file per folder."""
+    g = g.sort_values("order_key")
+    folder = g["folder"].iloc[0] or "root"
+    path = os.path.join(out_dir, folder.rstrip("/") + ".mmdf")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    sep = "\x01\x01\x01\x01\n"
+    with open(path, "w", encoding="utf-8") as f:
+        for msg in g["message"]:
+            f.write(sep)
+            f.write(msg)
+            f.write("\n" + sep)
+    return pd.DataFrame({"folder": [folder], "n_messages": [len(g)]})
+
+
+def _write_babyl(g: pd.DataFrame, out_dir: str) -> pd.DataFrame:
+    """Babyl (Rmail): \\f-separated messages with the EOOH marker."""
+    g = g.sort_values("order_key")
+    folder = g["folder"].iloc[0] or "root"
+    path = os.path.join(out_dir, folder.rstrip("/") + ".babyl")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("BABYL OPTIONS:\nVersion: 5\n\x1f")
+        for msg in g["message"]:
+            head, _, body = msg.partition("\n\n")
+            f.write("\x0c\n0, unseen,,\n*** EOOH ***\n")
+            f.write(head + "\n\n" + body)
+            f.write("\x1f")
+    return pd.DataFrame({"folder": [folder], "n_messages": [len(g)]})
+
+
+_MAIL_FORMATS = {
+    "mbox": _write_folder,
+    "maildir": _write_maildir,
+    "mh": _write_mh,
+    "mmdf": _write_mmdf,
+    "babyl": _write_babyl,
+}
+
+
+def _write_mail(entries_ds, out_dir: str, opts, writer):
     import functools
 
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
     msgs = build_mail_messages(entries_ds, opts)
     out = msgs.groupby("folder").map_groups(
-        functools.partial(_write_folder, out_dir=out_dir),
+        functools.partial(writer, out_dir=out_dir),
         batch_format="pandas",
         runtime_env=_RENV,
     )
     return out.to_pandas().sort_values("folder").reset_index(drop=True)
+
+
+def write_mail(entries_ds, out_dir: str, fmt: str = "mbox",
+               opts: MailOptions | None = None):
+    """Foldered mail sink in any reference format
+    (writers/{mbox,maildir,mh,mmdf,babyl}.py): same message builder,
+    format-specific per-folder writer."""
+    if fmt not in _MAIL_FORMATS:
+        raise ValueError(f"unknown mail format {fmt!r}; one of {sorted(_MAIL_FORMATS)}")
+    return _write_mail(entries_ds, out_dir, opts, _MAIL_FORMATS[fmt])

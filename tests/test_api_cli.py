@@ -23,7 +23,9 @@ def fixture_dir(ray_session):
 
 def test_registry_listing():
     assert "html-generic" in api.list_extractors()
-    assert set(api.list_output_formats()) == {"jsonl", "mbox", "parquet", "urls"}
+    assert set(api.list_output_formats()) == {
+        "jsonl", "mbox", "maildir", "mh", "mmdf", "babyl", "parquet", "urls",
+    }
 
 
 def test_detect(fixture_dir):

@@ -102,3 +102,21 @@ def test_mail_textify_and_content_title(crawl_out):
     body = msgs["message"].iloc[0]
     assert "text/plain" in body
     assert "<p>" not in body.split("\n\n", 1)[1]  # tags stripped from bodies
+
+
+def test_all_mail_formats(crawl_out, tmp_path):
+    from forum_dl_ray.sinks import write_mail
+
+    ds = entries_dataset(crawl_out)
+    for fmt in ["maildir", "mh", "mmdf", "babyl"]:
+        d = str(tmp_path / fmt)
+        stats = write_mail(ds, d, fmt=fmt)
+        assert stats["n_messages"].sum() > 0, fmt
+    # maildir: one file per message under cur/
+    import glob
+
+    files = glob.glob(str(tmp_path / "maildir" / "**" / "cur" / "*"), recursive=True)
+    assert len(files) == stats["n_messages"].sum()
+    # mmdf separators present
+    mmdf = glob.glob(str(tmp_path / "mmdf" / "**" / "*.mmdf"), recursive=True)
+    assert mmdf and "\x01\x01\x01\x01" in open(mmdf[0]).read()
