@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     "events_windowed",
     "customers_per_region",
     "filter_project_lineitem",
+    "revenue_by_nation",
+    "quality_filter",
+    "top_docs_by_len",
     "token_counts",
     "text_stats",
     "lang_id",
