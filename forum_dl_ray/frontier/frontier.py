@@ -69,36 +69,65 @@ class Frontier:
     def offer(self, entries: pa.Table | list[dict[str, Any]]) -> int:
         """Anti-join + enqueue: dedup URLs against the sharded seen set,
         then enqueue only the fresh ones into their host-owning shard.
-        Returns the number of fresh entries enqueued."""
+        Returns the number of fresh entries enqueued. Fully vectorized:
+        numpy routing masks, arrow sub-tables on the wire (no per-row
+        dicts past this point)."""
+        from ..schemas import FRONTIER_ENTRY
+
+        rows: list[dict[str, Any]] | None = None
         if isinstance(entries, pa.Table):
-            rows = entries.to_pylist()
+            n = entries.num_rows
+            if n == 0:
+                return 0
+            hashes = entries["url_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
+            urls = entries["url"].to_pylist()
         else:
             rows = entries
-        if not rows:
-            return 0
-        hashes = np.array([r["url_hash"] for r in rows], dtype=np.int64)
-        urls = [r["url"] for r in rows]
-        # 1) seen anti-join, sharded by url_hash
-        by_shard: dict[int, list[int]] = {}
-        for i, h in enumerate(hashes):
-            by_shard.setdefault(int(h) % self.num_shards, []).append(i)
-        futures = {}
-        for s, idxs in by_shard.items():
-            ii = np.array(idxs, dtype=np.int64)
-            futures[s] = (
-                ii,
-                self.shards[s].seen_offer.remote(hashes[ii], [urls[i] for i in idxs]),
+            n = len(rows)
+            if n == 0:
+                return 0
+            hashes = np.fromiter(
+                (r["url_hash"] for r in rows), dtype=np.int64, count=n
             )
-        fresh = np.zeros(len(rows), dtype=bool)
+            urls = [r["url"] for r in rows]
+        # 1) seen anti-join, sharded by url_hash (dup offers end here —
+        # no arrow conversion on that path)
+        shard_of = hashes % self.num_shards
+        futures = {}
+        for s in np.unique(shard_of):
+            ii = np.nonzero(shard_of == s)[0]
+            futures[int(s)] = (
+                ii,
+                self.shards[int(s)].seen_offer.remote(
+                    hashes[ii], [urls[i] for i in ii]
+                ),
+            )
+        fresh = np.zeros(n, dtype=bool)
         for s, (ii, fut) in futures.items():
             fresh[ii] = ray.get(fut)
-        # 2) enqueue fresh entries into the host-owning shard
-        by_host_shard: dict[int, list[dict[str, Any]]] = {}
-        for i in np.nonzero(fresh)[0]:
-            r = rows[i]
-            s = url_hash64(r["host"]) % self.num_shards
-            by_host_shard.setdefault(s, []).append(r)
-        enq = [self.shards[s].enqueue.remote(batch) for s, batch in by_host_shard.items()]
+        if not fresh.any():
+            return 0
+        # 2) enqueue fresh entries into the host-owning shard, as arrow
+        # sub-tables (built only now, only for fresh rows)
+        fresh_idx = np.nonzero(fresh)[0]
+        if rows is None:
+            fresh_t = entries.take(fresh_idx)
+        else:
+            names = [f.name for f in FRONTIER_ENTRY]
+            fresh_rows = [rows[i] for i in fresh_idx]
+            fresh_t = pa.table(
+                {nm: [r.get(nm) for r in fresh_rows] for nm in names},
+                schema=FRONTIER_ENTRY,
+            )
+        # hosts repeat heavily (a crawl has few hosts, many URLs):
+        # hash each unique host once, scatter via the inverse index
+        hosts = np.asarray(fresh_t["host"].to_pylist(), dtype=object)
+        uniq_hosts, inv = np.unique(hosts, return_inverse=True)
+        host_shard = (url_hash64_array(list(uniq_hosts)) % np.int64(self.num_shards))[inv]
+        enq = []
+        for s in np.unique(host_shard):
+            jj = np.nonzero(host_shard == s)[0]
+            enq.append(self.shards[int(s)].enqueue.remote(fresh_t.take(jj)))
         return int(sum(ray.get(enq))) if enq else 0
 
     def mark_failed(self, urls: list[str]) -> None:

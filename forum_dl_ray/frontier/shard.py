@@ -58,9 +58,15 @@ class ShardState:
         self.n_seen = 0
         self.n_failed = 0
         # --- queue role ---
-        self.heap: list[tuple[int, int, int]] = []  # (depth, seq, idx into _entries)
-        self._entries: dict[int, dict[str, Any]] = {}
-        self._next_idx = 0
+        # column-store queue: entries live in immutable arrow chunks,
+        # the heap holds (depth, seq, chunk_id, row) — no per-row dicts
+        # (at 10^10-frontier scale dict-of-dicts costs ~10x the memory
+        # and the per-row churn dominated enqueue/poll profiles)
+        self.heap: list[tuple[int, int, int, int]] = []
+        self._chunks: dict[int, pa.Table] = {}
+        self._chunk_live: dict[int, int] = {}  # chunk_id -> rows not yet polled
+        self._next_chunk = 0
+        self._next_idx = 0  # retained for snapshot meta compat
         self.default_rate = default_rate
         self.default_burst = default_burst
         # host -> [tokens, last_refill_ts, rate, burst]
@@ -145,18 +151,84 @@ class ShardState:
         path = url.split(host, 1)[-1]
         return not any(path.startswith(p) for p in rules)
 
-    def enqueue(self, entries: list[dict[str, Any]]) -> int:
-        n = 0
-        for e in entries:
-            if not self._robots_allows(e["host"], e["url"]):
-                self.n_robots_denied += 1
-                continue
-            idx = self._next_idx
-            self._next_idx += 1
-            self._entries[idx] = e
-            heapq.heappush(self.heap, (int(e["depth"]), int(e["seq"]), idx))
-            n += 1
-        return n
+    def enqueue(self, entries: "list[dict[str, Any]] | pa.Table") -> int:
+        if not isinstance(entries, pa.Table):
+            entries = _entries_to_table(entries)
+        if entries.num_rows == 0:
+            return 0
+        # robots filter: vectorized fast path when no host in the batch
+        # has rules (the common case)
+        if self.robots:
+            hosts = entries["host"].to_pylist()
+            urls = entries["url"].to_pylist()
+            keep = [self._robots_allows(h, u) for h, u in zip(hosts, urls)]
+            denied = len(keep) - sum(keep)
+            if denied:
+                self.n_robots_denied += denied
+                entries = entries.filter(pa.array(keep, pa.bool_()))
+                if entries.num_rows == 0:
+                    return 0
+        cid = self._next_chunk
+        self._next_chunk += 1
+        self._chunks[cid] = entries
+        self._chunk_live[cid] = entries.num_rows
+        depths = entries["depth"].to_pylist()
+        seqs = entries["seq"].to_pylist()
+        push = heapq.heappush
+        heap = self.heap
+        for row, (d, s) in enumerate(zip(depths, seqs)):
+            push(heap, (d, s, cid, row))
+        return entries.num_rows
+
+    def _release_rows(self, taken: list[tuple[int, int]]) -> pa.Table:
+        """(chunk_id, row) list → one output table; frees drained chunks."""
+        if not taken:
+            return FRONTIER_ENTRY.empty_table()
+        by_chunk: dict[int, list[int]] = {}
+        order: list[tuple[int, int]] = []  # (chunk, position-in-chunk-take)
+        for c, r in taken:
+            lst = by_chunk.setdefault(c, [])
+            order.append((c, len(lst)))
+            lst.append(r)
+        pieces = {c: self._chunks[c].take(rows) for c, rows in by_chunk.items()}
+        for c, rows in by_chunk.items():
+            self._chunk_live[c] -= len(rows)
+            if self._chunk_live[c] == 0:
+                del self._chunks[c]
+                del self._chunk_live[c]
+        # single-chunk fast path (typical poll)
+        if len(pieces) == 1:
+            return next(iter(pieces.values()))
+        chunk_ids = list(by_chunk)
+        offsets: dict[int, int] = {}
+        off = 0
+        for c in chunk_ids:
+            offsets[c] = off
+            off += len(by_chunk[c])
+        big = pa.concat_tables([pieces[c] for c in chunk_ids])
+        return big.take([offsets[c] + p for c, p in order])
+
+    def _release_rows_nofree(self, taken: list[tuple[int, int]]) -> pa.Table:
+        """Like _release_rows but leaves the chunks in place (snapshot)."""
+        if not taken:
+            return FRONTIER_ENTRY.empty_table()
+        by_chunk: dict[int, list[int]] = {}
+        order: list[tuple[int, int]] = []
+        for c, r in taken:
+            lst = by_chunk.setdefault(c, [])
+            order.append((c, len(lst)))
+            lst.append(r)
+        pieces = {c: self._chunks[c].take(rows) for c, rows in by_chunk.items()}
+        if len(pieces) == 1:
+            return next(iter(pieces.values()))
+        chunk_ids = list(by_chunk)
+        offsets: dict[int, int] = {}
+        off = 0
+        for c in chunk_ids:
+            offsets[c] = off
+            off += len(by_chunk[c])
+        big = pa.concat_tables([pieces[c] for c in chunk_ids])
+        return big.take([offsets[c] + p for c, p in order])
 
     def poll(self, now: float, max_n: int) -> pa.Table:
         """Pop up to max_n entries whose host has politeness tokens.
@@ -165,15 +237,21 @@ class ShardState:
         with unchanged priority). Scan is bounded to avoid O(pending)
         sweeps when one hot host dominates the top of the heap.
         """
-        out: list[dict[str, Any]] = []
-        held: list[tuple[int, int, int]] = []
+        taken: list[tuple[int, int]] = []
+        held: list[tuple[int, int, int, int]] = []
         scan_budget = max_n * 4 + 256
         blocked_hosts: set[str] = set()
-        while self.heap and len(out) < max_n and scan_budget > 0:
+        unlimited = self.default_rate == float("inf") and not self.buckets
+        heap = self.heap
+        pop = heapq.heappop
+        while heap and len(taken) < max_n and scan_budget > 0:
             scan_budget -= 1
-            item = heapq.heappop(self.heap)
-            e = self._entries[item[2]]
-            host = e["host"]
+            item = pop(heap)
+            _, _, cid, row = item
+            if unlimited:
+                taken.append((cid, row))
+                continue
+            host = self._chunks[cid]["host"][row].as_py()
             if host in blocked_hosts:
                 held.append(item)
                 continue
@@ -184,23 +262,25 @@ class ShardState:
                 b[1] = now
             if tokens >= 1.0 or rate == float("inf"):
                 b[0] = tokens - 1.0 if rate != float("inf") else tokens
-                del self._entries[item[2]]
-                out.append(e)
+                taken.append((cid, row))
             else:
                 b[0] = tokens
                 blocked_hosts.add(host)
                 held.append(item)
         for item in held:
             heapq.heappush(self.heap, item)
-        self.stats_polled += len(out)
-        return _entries_to_table(out)
+        out = self._release_rows(taken)
+        self.stats_polled += out.num_rows
+        return out
 
     def pending_count(self) -> int:
         return len(self.heap)
 
     # ------------------------------------------------------------ checkpoint
     def snapshot(self) -> dict[str, Any]:
-        pending = [self._entries[i] for (_, _, i) in sorted(self.heap)]
+        pending = self._release_rows_nofree(
+            [(c, r) for (_, _, c, r) in sorted(self.heap)]
+        )
         seen = pa.table(
             {
                 "url_hash": pa.array([h for h in self.exact], type=pa.int64()),
@@ -213,7 +293,7 @@ class ShardState:
             "shard_id": self.shard_id,
             "bloom": self.bloom.to_bytes(),
             "cuckoo": self.cuckoo.to_bytes(),
-            "pending": _entries_to_table(pending),
+            "pending": pending,
             "seen": seen,
             "meta": json.dumps(
                 {
@@ -249,12 +329,10 @@ class ShardState:
             )
         }
         self.heap = []
-        self._entries = {}
-        for e in snap["pending"].to_pylist():
-            idx = self._next_idx
-            self._next_idx += 1
-            self._entries[idx] = e
-            heapq.heappush(self.heap, (int(e["depth"]), int(e["seq"]), idx))
+        self._chunks = {}
+        self._chunk_live = {}
+        self._next_chunk = 0
+        self.enqueue(snap["pending"])
 
     def counters(self) -> dict[str, int]:
         return {
