@@ -56,3 +56,28 @@ def test_cuckoo_load_factor_headroom():
     rng = np.random.default_rng(10)
     cf.insert_many(rng.integers(-(2**62), 2**62, size=10_000, dtype=np.int64))
     assert cf.load_factor < 0.96
+
+
+def test_shard_seen_without_exact_sideset():
+    """exact=False is the 10^10-scale mode: membership via cuckoo only.
+    No false negatives allowed (a seen URL must never be re-fetched);
+    a small false-positive rate (fresh URL wrongly 'seen') is the
+    accepted trade at that scale."""
+    import numpy as np
+
+    from forum_dl_ray.frontier.shard import ShardState
+
+    n = 20_000
+    s = ShardState(0, capacity=2 * n, exact=False)
+    h1 = np.arange(1, n + 1, dtype=np.int64) * 2_654_435_761
+    urls = [f"u{i}" for i in range(n)]
+    fresh = s.seen_offer(h1, urls)
+    # inserts may see rare cuckoo-fingerprint collisions -> tiny FP rate
+    assert fresh.sum() >= n * 0.999
+    # duplicate re-offer: NONE may come back fresh (no false negatives)
+    again = s.seen_offer(h1, urls)
+    assert not again.any()
+    # disjoint second set: mostly fresh (bounded false positives)
+    h2 = h1 + 1
+    fresh2 = s.seen_offer(h2, urls)
+    assert fresh2.sum() >= n * 0.99
