@@ -107,8 +107,29 @@ def parse_batch(batch: pa.Table, *, frontier: Any, wave: int = -1) -> pa.Table:
                 if detected is None:
                     continue
                 engine_name = detected
-                kind = "board_page" if detected == "html-generic" else "api_index"
-                cursor = {"j": 0, "page": 1}
+                if detected != "html-generic":
+                    kind = "api_index"
+                    cursor = {"j": 0, "page": 1}
+                elif ENGINES[detected].classify_page(body) == "thread":
+                    # J5 thread seed: recover the board path from the
+                    # breadcrumb trail (J2) and emit the thread entry
+                    # the board walk would have produced
+                    eng0 = ENGINES[detected]
+                    t_title = eng0.page_title(body)
+                    tid = item_id_from_url(url)
+                    path = eng0.board_path_from_crumbs(body, url) + [tid]
+                    title = t_title
+                    kind = "thread_page"
+                    cursor = {"k": 0, "stack": [], "page": 1}
+                    out_entries.append(
+                        _entry_row(
+                            type="thread", path=path_to_json(path), url=url,
+                            origin=url, title=t_title, order_key=okx(key, 0),
+                        )
+                    )
+                else:
+                    kind = "board_page"
+                    cursor = {"j": 0, "page": 1}
             eng = ENGINES[engine_name]
             if engine_name == "html-generic":
                 _parse_html_row(

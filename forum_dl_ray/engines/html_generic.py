@@ -54,6 +54,32 @@ def page_title(body: bytes) -> str:
     return m.group(1) if m else ""
 
 
+def classify_page(body: bytes) -> str:
+    """'board' or 'thread' — the J5 node_from_url classification
+    (reference common.py:291-298 + per-engine _get_node_from_url):
+    a page with post rows and no board/thread item rows is a thread.
+    Shared by the crawler seed parse and the golden walker so both
+    sides classify identically."""
+    text = body.decode("utf-8", "replace")
+    if BOARD_ITEM_RE.search(text) or THREAD_ITEM_RE.search(text):
+        return "board"
+    if POST_RE.search(text):
+        return "thread"
+    return "board"
+
+
+def board_path_from_crumbs(body: bytes, page_url: str) -> list[str]:
+    """Board-id path of a page via its breadcrumb trail — the J2
+    breadcrumb→board lookup (reference find_board_from_urls,
+    common.py:273-289), page-local here because the crumb URLS carry
+    the ids."""
+    ids = []
+    for href, _title in parse_crumbs(body, page_url):
+        if "/board/" in href:
+            ids.append(href.rstrip("/").rsplit("/", 1)[-1].split("?")[0])
+    return ids
+
+
 def parse_board_page(body: bytes, page_url: str) -> dict:
     """Board page → subboard links, thread links, next-page cursor.
 

@@ -230,9 +230,17 @@ def simulate(pages_rows: list[dict], seeds: list[dict]) -> GoldenResult:
         assert engine_name == seed["engine"], (engine_name, seed)
         eng = ENGINES[engine_name]
         if engine_name == "html-generic":
-            # seed page IS the root board index (cached → no refetch)
-            title = eng.page_title(row["body"])
-            sim.walk_board_html(eng, canon_seed, [], title, ok(s_idx))
+            if eng.classify_page(row["body"]) == "thread":
+                # J5 thread seed: board path via breadcrumbs (J2)
+                t_title = eng.page_title(row["body"])
+                tid = item_id_from_url(canon_seed)
+                t_path = eng.board_path_from_crumbs(row["body"], canon_seed) + [tid]
+                sim.emit_thread(canon_seed, canon_seed, t_path, t_title, okx(ok(s_idx), 0))
+                sim.walk_thread_html(eng, canon_seed, t_path, ok(s_idx))
+            else:
+                # seed page IS the root board index (cached → no refetch)
+                title = eng.page_title(row["body"])
+                sim.walk_board_html(eng, canon_seed, [], title, ok(s_idx))
         elif engine_name == "json-stream":
             from .golden_json import walk_json_stream
 
