@@ -106,10 +106,19 @@ def parse_thread_page(body: bytes, page_url: str) -> dict:
     extraction (id/author/time/indent/content), then re-parse each post
     body for embedded files (common.py:480-569 — here <img> only; the
     fixture site embeds images exclusively).
+
+    Post-row markup DIALECTS model the reference's per-engine field
+    extractors (M8-M13): the page declares its dialect via a meta tag
+    and the matching kernel extracts id/author/time/content from that
+    engine family's layout, normalizing every date style to ISO
+    (M17). Unknown/absent dialect falls back to the generic layout.
     """
     text = body.decode("utf-8", "replace")
+    m = DIALECT_RE.search(text)
+    dialect = m.group(1) if m else "generic"
+    extract = DIALECT_KERNELS.get(dialect, _posts_generic)
     posts = []
-    for pid, author, time_iso, indent, content in POST_RE.findall(text):
+    for pid, author, time_iso, indent, content in extract(text):
         images = [(canon(src, page_url), alt) for src, alt in IMG_RE.findall(content)]
         posts.append(
             {
@@ -124,6 +133,90 @@ def parse_thread_page(body: bytes, page_url: str) -> dict:
     m = NEXT_RE.search(text)
     next_url = canon(m.group(1), page_url) if m else None
     return {"title": page_title(body), "posts": posts, "next_url": next_url}
+
+
+# ------------------------------------------------ post-extraction dialects
+DIALECT_RE = re.compile(r'<meta name="dialect" content="([a-z]+)">')
+
+# phpBB family (reference phpbb.py:451-487): id from post_content(\d+),
+# author in a username span, time in <time datetime=...>
+PHPBB_POST_RE = re.compile(
+    r'<div class="post_content" id="post_content(\d+)" data-indent="(\d+)">\s*'
+    r'<p class="author"><span class="username">([^<]*)</span> » '
+    r'<time datetime="([^"]*)"></time></p>\s*'
+    r'<div class="content">(.*?)</div>\s*</div>',
+    re.S,
+)
+
+# XenForo family (xenforo.py:468-505): article.message, data-author,
+# id post-(\d+), content in .bbWrapper
+XENFORO_POST_RE = re.compile(
+    r'<article class="message" data-author="([^"]*)" id="post-(\d+)"'
+    r' data-indent="(\d+)">\s*<time datetime="([^"]*)"></time>\s*'
+    r'<div class="bbWrapper">(.*?)</div>\s*</article>',
+    re.S,
+)
+
+# SMF family (simplemachines.py:403-436): id msg_(\d+), free-text date
+# parsed by month-name pattern (dateparser stand-in: fixed strptime)
+SMF_POST_RE = re.compile(
+    r'<div class="smf-post" id="msg_(\d+)" data-indent="(\d+)">\s*'
+    r'<h4 class="author">([^<]*)</h4>\s*<span class="date">([^<]*)</span>\s*'
+    r'<div class="inner">(.*?)</div>\s*</div>',
+    re.S,
+)
+_SMF_DATE_FMT = "%B %d, %Y, %H:%M"
+
+# ProBoards family (proboards.py:344-363): id post-(\d+), epoch-millis
+# data-timestamp
+PROBOARDS_POST_RE = re.compile(
+    r'<div class="pb-post" id="post-(\d+)" data-timestamp="(\d+)"'
+    r' data-indent="(\d+)">\s*<span class="author">([^<]*)</span>\s*'
+    r'<div class="content">(.*?)</div>\s*</div>',
+    re.S,
+)
+
+
+def _posts_generic(text: str):
+    for pid, author, time_iso, indent, content in POST_RE.findall(text):
+        yield pid, author, time_iso, indent, content
+
+
+def _posts_phpbb(text: str):
+    for num, indent, author, time_iso, content in PHPBB_POST_RE.findall(text):
+        yield f"p{num}", author, time_iso, indent, content
+
+
+def _posts_xenforo(text: str):
+    for author, num, indent, time_iso, content in XENFORO_POST_RE.findall(text):
+        yield f"p{num}", author, time_iso, indent, content
+
+
+def _posts_smf(text: str):
+    from datetime import datetime
+
+    for num, indent, author, date_text, content in SMF_POST_RE.findall(text):
+        time_iso = datetime.strptime(date_text, _SMF_DATE_FMT).isoformat()
+        yield f"p{num}", author, time_iso, indent, content
+
+
+def _posts_proboards(text: str):
+    from datetime import datetime, timezone
+
+    for num, millis, indent, author, content in PROBOARDS_POST_RE.findall(text):
+        # epoch millis -> naive UTC (fromtimestamp without tz would be
+        # machine-local and non-deterministic)
+        dt = datetime.fromtimestamp(int(millis) / 1000, tz=timezone.utc)
+        yield f"p{num}", author, dt.replace(tzinfo=None).isoformat(), indent, content
+
+
+DIALECT_KERNELS = {
+    "generic": _posts_generic,
+    "phpbb": _posts_phpbb,
+    "xenforo": _posts_xenforo,
+    "smf": _posts_smf,
+    "proboards": _posts_proboards,
+}
 
 
 def parse_crumbs(body: bytes, page_url: str) -> list[tuple[str, str]]:

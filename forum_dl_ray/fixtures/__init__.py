@@ -7,6 +7,7 @@ from .synth import (
     bench_spec,
     steady_spec,
     steady_big_spec,
+    dialects_spec,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "bench_spec",
     "steady_spec",
     "steady_big_spec",
+    "dialects_spec",
 ]

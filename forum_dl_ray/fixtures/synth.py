@@ -52,6 +52,7 @@ class SiteSpec:
     posts_per_page: int = 3
     image_rate: float = 0.3       # fraction of posts embedding one image
     fail_rate: float = 0.0        # fraction of thread pages >= 2 returning 500
+    dialect: str = "generic"      # post markup family (M8-M13 kernels)
     seed: int = 42
 
 
@@ -212,12 +213,10 @@ class _SiteBuilder:
         for page in range(1, n_pages + 1):
             chunk = posts[(page - 1) * spec.posts_per_page : page * spec.posts_per_page]
             body = self._head(title) + self._crumbs(crumbs + [(f"/thread/{tid}", title)])
+            if spec.dialect != "generic":
+                body += f'<meta name="dialect" content="{spec.dialect}">'
             for p in chunk:
-                body += (
-                    f'<div class="post" id="{p["pid"]}" data-author="{p["author"]}"'
-                    f' data-time="{p["time"]}" data-indent="{p["indent"]}">'
-                    f'<div class="content">{p["content"]}</div></div>'
-                )
+                body += _post_markup(spec.dialect, p)
             next_url = None
             if page < n_pages:
                 body += f'<a class="next" href="/thread/{tid}?page={page + 1}">Next</a>'
@@ -276,6 +275,53 @@ class _SiteBuilder:
                 "next_url": next_url,
             }
         )
+
+
+def _post_markup(dialect: str, p: dict) -> str:
+    """Post-row HTML per engine-family dialect (the write side of the
+    M8-M13 extraction kernels in engines/html_generic.py)."""
+    pid, author, t, ind, content = p["pid"], p["author"], p["time"], p["indent"], p["content"]
+    if dialect == "phpbb":
+        num = pid.lstrip("p")
+        return (
+            f'<div class="post_content" id="post_content{num}" data-indent="{ind}">'
+            f'<p class="author"><span class="username">{author}</span> » '
+            f'<time datetime="{t}"></time></p>'
+            f'<div class="content">{content}</div></div>'
+        )
+    if dialect == "xenforo":
+        num = pid.lstrip("p")
+        return (
+            f'<article class="message" data-author="{author}" id="post-{num}"'
+            f' data-indent="{ind}"><time datetime="{t}"></time>'
+            f'<div class="bbWrapper">{content}</div></article>'
+        )
+    if dialect == "smf":
+        from datetime import datetime as _dt
+
+        num = pid.lstrip("p")
+        date_text = _dt.fromisoformat(t).strftime("%B %d, %Y, %H:%M")
+        return (
+            f'<div class="smf-post" id="msg_{num}" data-indent="{ind}">'
+            f'<h4 class="author">{author}</h4><span class="date">{date_text}</span>'
+            f'<div class="inner">{content}</div></div>'
+        )
+    if dialect == "proboards":
+        from datetime import datetime as _dt
+        from datetime import timezone as _tz
+
+        num = pid.lstrip("p")
+        millis = int(_dt.fromisoformat(t).replace(tzinfo=_tz.utc).timestamp() * 1000)
+        return (
+            f'<div class="pb-post" id="post-{num}" data-timestamp="{millis}"'
+            f' data-indent="{ind}"><span class="author">{author}</span>'
+            f'<div class="content">{content}</div></div>'
+        )
+    return (
+        f'<div class="post" id="{pid}" data-author="{author}"'
+        f' data-time="{t}" data-indent="{ind}">'
+        f'<div class="content">{content}</div></div>'
+    )
 
 
 def hash_host(host: str) -> int:
@@ -469,3 +515,18 @@ def mixed_spec() -> FixtureSpec:
                      threads_per_board=4, posts_per_thread=10, seed=71),
         ],
     )
+
+
+def dialects_spec() -> FixtureSpec:
+    """One site per post-markup dialect (M8-M13 extraction kernels +
+    M17 date-style normalization: ISO <time>, free-text month-name,
+    epoch millis)."""
+    sites = []
+    for i, dialect in enumerate(["phpbb", "xenforo", "smf", "proboards"]):
+        sites.append(
+            SiteSpec(host=f"{dialect}.test", dialect=dialect, n_top_boards=1,
+                     sub_levels=0, threads_per_board=2, threads_per_page=2,
+                     posts_per_thread=5, posts_per_page=3, image_rate=0.25,
+                     fail_rate=0.0, seed=80 + i)
+        )
+    return FixtureSpec(name="dialects", sites=sites)
