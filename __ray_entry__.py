@@ -174,10 +174,11 @@ def _crawl_out_dir() -> str:
     from forum_dl_ray.crawl import CrawlConfig, Crawler
     from forum_dl_ray.fixtures import generate_fixture, micro_spec
 
-    out = "/tmp/fdr_entry_crawl"
+    spec = micro_spec()
+    out = f"/tmp/fdr_entry_crawl-{spec.digest()}"
     marker = os.path.join(out, "stats.json")
     if not os.path.exists(marker):
-        fx = generate_fixture(micro_spec())
+        fx = generate_fixture(spec)
         Crawler(fx, out, CrawlConfig(num_shards=2, target_tasks=4)).run()
     return out
 
