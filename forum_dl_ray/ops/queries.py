@@ -35,6 +35,17 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Datas
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+def _read_small(sf_dir: str, table: str, columns: list[str] | None = None) -> pd.DataFrame:
+    """Driver-side read of a SMALL (broadcast-side) table — a direct
+    parquet read, not a Ray pipeline: dimension tables are the lookup
+    side of broadcast joins and never need distributed scan."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    ).to_pandas()
+
+
 # ------------------------------------------------------------------ Q1-style
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q1 shape: per (returnflag, linestatus) sums/avgs/counts with
@@ -93,27 +104,52 @@ def q3_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
     """Revenue top-10 for one customer segment: broadcast the qualifying
     order-key set (small side) into the lineitem scan — a semi-join via
     ray.put instead of an all-to-all shuffle join."""
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = _read_small(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     seg_keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+    orders = _read_small(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     ok = orders[orders["o_custkey"].isin(seg_keys)]
-    okey_ref = ray.put(set(ok["o_orderkey"]))
+    okey_ref = ray.put(np.sort(ok["o_orderkey"].to_numpy().astype(np.int64)))
 
     def revenue_partial(batch: pa.Table) -> pa.Table:
-        keys = ray.get(okey_ref)
-        df = batch.to_pandas()
-        df = df[df["l_orderkey"].isin(keys)]
-        df["rev_c"] = np.floor(
-            df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy()) * 100.0 + 0.5
+        keys = ray.get(okey_ref)  # sorted numpy -> binary-search semi-join
+        lk = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(keys, lk)
+        pos[pos >= len(keys)] = len(keys) - 1
+        mask = keys[pos] == lk
+        lk = lk[mask]
+        rev = np.floor(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[mask]
+            * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)[mask])
+            * 100.0 + 0.5
         ).astype(np.int64)
-        g = df.groupby("l_orderkey", as_index=False)["rev_c"].sum()
+        g = (
+            pd.DataFrame({"l_orderkey": lk, "rev_c": rev})
+            .groupby("l_orderkey", as_index=False)["rev_c"].sum()
+        )
         return pa.Table.from_pandas(g, preserve_index=False)
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     partials = ds.map_batches(revenue_partial, batch_format="pyarrow", runtime_env=_RENV, batch_size=65536)
-    from ray.data.aggregate import Sum
 
-    total = partials.groupby("l_orderkey").aggregate(Sum("rev_c", alias_name="revenue_c")).to_pandas()
+    # high-cardinality key: bucket the groupby (bounded group count,
+    # keys disjoint across buckets) and take per-bucket top-10; the
+    # global top-10 folds 64x10 rows on the driver
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "bucket", pc.bit_wise_and(batch["l_orderkey"], pa.scalar(63, pa.int64()))
+        )
+
+    def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("l_orderkey", as_index=False)["rev_c"].sum()
+        t = t.rename(columns={"rev_c": "revenue_c"})
+        return t.sort_values(["revenue_c", "l_orderkey"], ascending=[False, True]).head(10)
+
+    total = (
+        partials.map_batches(add_bucket, batch_format="pyarrow", runtime_env=_RENV, batch_size=65536)
+        .groupby("bucket")
+        .map_groups(bucket_top, batch_format="pandas", runtime_env=_RENV)
+        .to_pandas()
+    )
     out = total.sort_values(["revenue_c", "l_orderkey"], ascending=[False, True]).head(10)
     return out[["l_orderkey", "revenue_c"]].reset_index(drop=True)
 
@@ -179,8 +215,8 @@ def events_windowed(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
 def customers_per_region(sf_dir: str) -> pd.DataFrame:
     """customer ⋈ nation ⋈ region via broadcast dict lookups (all
     dimension tables tiny) — no shuffle at any size of customer."""
-    nation = _read(sf_dir, "nation").to_pandas()
-    region = _read(sf_dir, "region").to_pandas()
+    nation = _read_small(sf_dir, "nation")
+    region = _read_small(sf_dir, "region")
     n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
     r2name = dict(zip(region["r_regionkey"], region["r_name"]))
     lookup_ref = ray.put((n2r, r2name))
@@ -289,9 +325,9 @@ def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     name) map built from the small dimension chain, then a combiner
     aggregation over the lineitem⋈orders fact side. The orders->cust
     map is itself broadcast (orders ≪ lineitem)."""
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
+    cust = _read_small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _read_small(sf_dir, "nation", ["n_nationkey", "n_name"])
+    orders = _read_small(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     c2n = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
     n2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
     o2nation = {
