@@ -206,6 +206,33 @@ def _crawl_images(sf_dir: str) -> Any:
     return ds.drop_columns(["bytes"])
 
 
+def _lang_id_sql() -> str:
+    """DuckDB replica of the stopword-profile argmax (generated from
+    the SAME profiles as the Ray kernel so they cannot drift)."""
+    from forum_dl_ray.ops.text import _LANG_PROFILES
+
+    langs = sorted(_LANG_PROFILES)
+    score_cols = ", ".join(
+        "len(list_filter(toks, x -> list_contains(["
+        + ",".join(f"'{w}'" for w in sorted(_LANG_PROFILES[lang]))
+        + f"], x))) AS s_{lang}"
+        for lang in langs
+    )
+    case = (
+        "CASE WHEN best = 0 THEN 'und' "
+        + " ".join(f"WHEN s_{l} = best THEN '{l}'" for l in langs)
+        + " END"
+    )
+    greatest = ", ".join(f"s_{l}" for l in langs)
+    return f"""
+        WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS toks
+                   FROM documents),
+        s AS (SELECT doc_id, {score_cols} FROM t),
+        b AS (SELECT *, greatest({greatest}) AS best FROM s)
+        SELECT doc_id, {case} AS lang_pred, best AS lang_score FROM b
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     tok_list = r"regexp_split_to_array(trim(text), '\s+')"
     # the image payload fixture is deterministic (seeded, digest-cached);
@@ -291,6 +318,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_keepers": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
         """,
+        "lang_id": _lang_id_sql(),
         "revenue_by_nation": """
             SELECT n_name,
                    sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_c,
