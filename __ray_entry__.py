@@ -319,6 +319,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
         """,
         "lang_id": _lang_id_sql(),
+        # brute-force ground truth (all-pairs exact 3-gram Jaccard >= 0.5);
+        # matching it also certifies the LSH path's recall on this corpus
+        "minhash_dedup_pairs": r"""
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                     ELSE list_distinct(
+                        [array_to_string(toks[i:i+2], ' ')
+                         for i in range(1, len(toks)-1)])
+                END AS grams
+              FROM t
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+                         (len(a.grams) + len(b.grams)
+                          - len(list_intersect(a.grams, b.grams))), 4) AS jacc_r
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+                  (len(a.grams) + len(b.grams)
+                   - len(list_intersect(a.grams, b.grams))) >= 0.5
+        """,
         "revenue_by_nation": """
             SELECT n_name,
                    sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_c,
