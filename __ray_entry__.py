@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_brute_topk": lambda sf: similarity.brute_topk(sf, QUERY_VEC_IDS, k=10),
         "ann_ivf_topk": lambda sf: similarity.ivf_topk(sf, QUERY_VEC_IDS, k=10),
+        "embedding_clusters": similarity.embedding_clusters,
         # --- multimodal / image payload ---
         "image_decode_stats": images_ops.image_decode_stats,
         "image_psnr_check": images_ops.image_psnr_check,

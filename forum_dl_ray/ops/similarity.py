@@ -161,3 +161,32 @@ def ivf_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
         .sort_values(["query_id", "cos_r", "vec_id"], ascending=[True, False, True])
         .reset_index(drop=True)
     )
+
+
+def embedding_clusters(sf_dir: str, n_clusters: int = 16) -> pd.DataFrame:
+    """(vec_id, cluster_id, sim_r): seeded k-means centroids (driver
+    sample, iterative Lloyd) broadcast to a distributed assignment
+    stage — the embedding-space clustering a training-data pipeline
+    uses for stratified sampling / domain balancing. Deterministic
+    given the seed; rows-only check (iterative, not SQL-expressible)."""
+    emb = _read_emb(sf_dir)
+    full = emb.to_pandas()
+    _ids_all, mat_all = _to_matrix(full)
+    cent = kmeans_centroids(mat_all, n_clusters)
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent_ = ray.get(cent_ref)
+        ids, mat = _to_matrix(batch.to_pandas())
+        sims = mat @ cent_.T
+        best = np.argmax(sims, axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(best.astype(np.int64), pa.int64()),
+                "sim_r": pa.array(np.round(sims[np.arange(len(best)), best], 5), pa.float64()),
+            }
+        )
+
+    out = emb.map_batches(assign, batch_format="pyarrow", runtime_env=_RENV, batch_size=4096).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
