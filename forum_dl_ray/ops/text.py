@@ -124,15 +124,38 @@ def lang_id(sf_dir: str) -> rd.Dataset:
 
 
 _FP_BASE = np.uint64(1099511628211)
+_FP_SEED = np.uint64(14695981039346656037)
+_POW_CACHE: dict[int, np.ndarray] = {}
+
+
+def _fp_powers(n: int) -> np.ndarray:
+    """P^(n-1) ... P^0 mod 2^64 (cached, grown geometrically)."""
+    cached = _POW_CACHE.get(0)
+    if cached is None or len(cached) < n:
+        size = max(n, 4096)
+        with np.errstate(over="ignore"):
+            p = np.empty(size, dtype=np.uint64)
+            p[0] = 1
+            np.multiply.accumulate(
+                np.full(size, _FP_BASE, dtype=np.uint64)[:-1], out=p[1:]
+            )
+        _POW_CACHE[0] = p
+        cached = p
+    return cached[:n][::-1]
 
 
 def _rolling_fingerprint(text: str) -> int:
-    """FNV-style rolling hash over the whole document (stable)."""
-    h = np.uint64(14695981039346656037)
+    """Rabin-Karp polynomial rolling hash over the whole document:
+    seed*P^n + sum(b_i * P^(n-1-i)) mod 2^64 — sequential-equivalent
+    but computed as one vectorized dot product (uint64 wrap-around is
+    the modulus), unlike FNV whose xor step forces a byte loop."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    n = len(b)
+    seed_term = (int(_FP_SEED) * pow(int(_FP_BASE), n, 1 << 64)) % (1 << 64)
     with np.errstate(over="ignore"):
-        for b in text.encode("utf-8"):
-            h = (h ^ np.uint64(b)) * _FP_BASE
-    return int(h.view(np.int64))
+        acc = int(np.sum(b * _fp_powers(n), dtype=np.uint64)) if n else 0
+    h = (seed_term + acc) % (1 << 64)
+    return h - (1 << 64) if h >= (1 << 63) else h
 
 
 def fingerprints(sf_dir: str) -> rd.Dataset:
