@@ -96,24 +96,44 @@ class LangId:
         self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
         self.word = re.compile(r"\w+", re.UNICODE)
         self.langs = sorted(self.profiles)
+        self.profile_arrays = {
+            k: np.array(sorted(v), dtype=object) for k, v in _LANG_PROFILES.items()
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Vectorized: flatten all docs' tokens into one array, score
+        every language with np.isin + per-doc segment sums, then
+        argmax with first-wins tie-break over the sorted language
+        order (exactly the scalar kernel's semantics — the lang_id
+        DuckDB oracle pins them)."""
         texts = batch["text"].to_pylist()
-        preds, scores = [], []
-        for t in texts:
-            toks = self.word.findall(t.lower())
-            best_lang, best = "und", 0
-            for lang in self.langs:
-                s = sum(1 for w in toks if w in self.profiles[lang])
-                if s > best:
-                    best, best_lang = s, lang
-            preds.append(best_lang)
-            scores.append(best)
+        n = len(texts)
+        tok_lists = [self.word.findall(t.lower()) for t in texts]
+        counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        flat = np.asarray(
+            [w for toks in tok_lists for w in toks], dtype=object
+        )
+        score_mat = np.zeros((n, len(self.langs)), dtype=np.int64)
+        if len(flat):
+            # reduceat quirk: an empty segment returns the next element
+            # and a start == len raises — clip starts and zero empties
+            starts = np.minimum(offsets[:-1], len(flat) - 1)
+            nonempty = counts > 0
+            for li, lang in enumerate(self.langs):
+                hit = np.isin(flat, self.profile_arrays[lang])
+                score_mat[:, li] = np.add.reduceat(hit, starts) * nonempty
+        best = score_mat.max(axis=1)
+        # first-wins argmax over sorted langs; score 0 -> "und"
+        first = np.argmax(score_mat == best[:, None], axis=1)
+        lang_arr = np.array(self.langs, dtype=object)
+        preds = np.where(best > 0, lang_arr[first], "und")
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "lang_pred": pa.array(preds, pa.string()),
-                "lang_score": pa.array(scores, pa.int64()),
+                "lang_pred": pa.array(list(preds), pa.string()),
+                "lang_score": pa.array(best, pa.int64()),
             }
         )
 
