@@ -72,3 +72,21 @@ def test_mixed_per_engine_coverage(crawl_out, golden):
     news_posts = df[(df["type"] == "post") & df["origin"].str.contains("news.test")]
     assert len(news_posts) == golden.hashes["news.test"]["post_count"]
     assert any(len(eval(s)) > 2 for s in news_posts["subpath"])
+
+
+def test_mixed_resume_mid_crawl(ray_session, fixture_dir, golden, tmp_path):
+    """Resume with JSON-engine cursors in flight: the checkpointed
+    frontier carries id-stream chunk cursors (json-stream) and reply
+    subpath cursors (json-registry) in entry JSON; restoring them must
+    reproduce the uninterrupted outputs exactly."""
+    out = str(tmp_path / "resumed")
+    stop = CrawlConfig(num_shards=2, target_tasks=4, checkpoint_every=2, max_waves=4)
+    Crawler(fixture_dir, out, stop).run()
+    go = CrawlConfig(num_shards=2, target_tasks=4, checkpoint_every=2)
+    Crawler(fixture_dir, out, go).run(resume=True)
+
+    seen = pq.read_table(os.path.join(out, "seen.parquet")).to_pylist()
+    assert {r["url"]: r["failed"] for r in seen} == golden.seen
+    df = ordered_items(out).to_pandas()
+    assert df["order_key"].tolist() == [e["order_key"] for e in golden.entries]
+    assert df["content"].tolist() == [e["content"] for e in golden.entries]
