@@ -55,7 +55,7 @@ def detect(url: str, pages_source: str) -> str | None:
     from .crawl.fetch import get_store
 
     store = get_store(os.path.join(pages_source, "pages.parquet"))
-    url = normalize_url(url)
+    url = normalize_url(url, keep_queries=("page",))
     rows = store.lookup([url])
     if rows[0] < 0:
         return None
@@ -82,7 +82,7 @@ def download(
         if engine is None:
             raise ValueError(f"no engine detects {url!r}")
         seeds.append(
-            {"seed_url": normalize_url(url), "engine": engine,
+            {"seed_url": normalize_url(url, keep_queries=("page",)), "engine": engine,
              "base_url": url, "host": host_of(url), "politeness_budget": 0.0}
         )
 

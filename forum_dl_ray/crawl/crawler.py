@@ -104,7 +104,7 @@ class Crawler:
     def seed_entries(self) -> list[dict]:
         rows = []
         for s_idx, seed in enumerate(self.seeds):
-            url = normalize_url(seed["seed_url"])
+            url = normalize_url(seed["seed_url"], keep_queries=("page",))
             rows.append(
                 {
                     "url": url,

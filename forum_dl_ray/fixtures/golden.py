@@ -221,7 +221,7 @@ def simulate(pages_rows: list[dict], seeds: list[dict]) -> GoldenResult:
     pages = {r["url"]: r for r in pages_rows}
     sim = _Sim(pages)
     for s_idx, seed in enumerate(seeds):
-        canon_seed = normalize_url(seed["seed_url"])
+        canon_seed = normalize_url(seed["seed_url"], keep_queries=("page",))
         entry_mark = len(sim.res.entries)
         row = sim.fetch(canon_seed)
         if row is None:

@@ -96,3 +96,36 @@ def test_thread_url_seed_parity(fixture_dir, tmp_path):
     )
     seen = pq.read_table(_os.path.join(out, "crawl", "seen.parquet")).to_pylist()
     assert {r["url"]: r["failed"] for r in seen} == golden.seen
+
+
+def test_mid_chain_board_page_seed(fixture_dir, tmp_path):
+    """initial_page parity (reference tests inject a mid-crawl cursor,
+    test_extractors.py:79-87): seeding a board's ?page=2 URL starts
+    the walk at that cursor — crawler equals the golden walker."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from forum_dl_ray.crawl.crawler import ordered_items
+    from forum_dl_ray.fixtures.golden import simulate
+
+    # alpha.test board b1 has 2 threads/page; micro has 2 threads per
+    # board -> page=2 exists only if threads > per_page; use beta which
+    # has 3 threads at 2/page
+    seed_url = "http://beta.test/board/b1?page=2"
+    out = str(tmp_path / "mid")
+    stats = api.download([seed_url], fixture_dir, out, "parquet")
+    assert stats["urls_fetched"] >= 1
+
+    pages = pq.read_table(_os.path.join(fixture_dir, "pages.parquet")).to_pylist()
+    golden = simulate(
+        pages,
+        [{"seed_url": seed_url, "engine": "html-generic",
+          "host": "beta.test", "base_url": seed_url, "politeness_budget": 0.0}],
+    )
+    df = ordered_items(_os.path.join(out, "crawl")).to_pandas()
+    assert len(df) == len(golden.entries) > 0
+    assert df["order_key"].tolist() == [e["order_key"] for e in golden.entries]
+    assert df["url"].tolist() == [e["url"] for e in golden.entries]
+    # only the tail of the board's threads was crawled
+    assert all("beta.test" in u for u in df["url"])
