@@ -237,7 +237,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-def run_steady_only(num_cpus: int, reps: int = 2) -> dict:
+def run_steady_only(num_cpus: int, reps: int = 3) -> dict:
     """Steady-state scaling subject, one fresh process."""
     _init_ray(num_cpus)
     res = steady_run(num_cpus, big=True, reps=reps)
