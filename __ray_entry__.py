@@ -258,18 +258,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-                   sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_base_price_c,
-                   sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS sum_disc_price_c,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_c,
                    count(*) AS count_order,
-                   sum(CAST(l_quantity AS BIGINT)) * 10000 // count(*) AS avg_qty_e4
+                   CAST(sum(CAST(l_quantity AS BIGINT)) * 10000 // count(*) AS BIGINT) AS avg_qty_e4
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
         """,
         "q3_top_revenue_orders": """
             SELECT l_orderkey,
-                   sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_c
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
             FROM lineitem
             WHERE l_orderkey IN (
                 SELECT o_orderkey FROM orders
@@ -281,13 +281,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_by_type": """
             SELECT event_type, count(*) AS n_events,
-                   sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS total_value_mil
+                   CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS total_value_mil
             FROM events GROUP BY event_type
         """,
         "events_windowed": """
             SELECT user_id, epoch_us(ts) // 3600000000 AS win,
                    count(*) AS n,
-                   sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS v_mil
+                   CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS v_mil
             FROM events GROUP BY user_id, win
         """,
         "customers_per_region": """
@@ -346,7 +346,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "revenue_by_nation": """
             SELECT n_name,
-                   sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_c,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c,
                    count(*) AS n_items
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey

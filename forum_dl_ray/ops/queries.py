@@ -112,6 +112,9 @@ def q3_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
 
     def revenue_partial(batch: pa.Table) -> pa.Table:
         keys = ray.get(okey_ref)  # sorted numpy -> binary-search semi-join
+        if len(keys) == 0:  # no customer in segment: empty partial
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "rev_c": pa.array([], pa.int64())})
         lk = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         pos = np.searchsorted(keys, lk)
         pos[pos >= len(keys)] = len(keys) - 1
@@ -185,16 +188,17 @@ def events_windowed(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
 
     def add_window(batch: pa.Table) -> pa.Table:
-        epoch = pc.cast(batch["ts"], pa.int64())  # microseconds
-        win = pc.divide(epoch, pa.scalar(3_600_000_000, pa.int64()))
+        # floor division (numpy), NOT pc.divide: Arrow integer divide
+        # truncates toward zero while the oracle's `//` floors — they
+        # diverge on pre-1970 (negative-epoch) timestamps
+        epoch = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        win = np.floor_divide(epoch, 3_600_000_000)
         v = np.floor(batch["value"].to_numpy() * 1000.0 + 0.5).astype(np.int64)
-        bucket = pc.bit_wise_and(
-            pc.bit_wise_xor(pc.cast(batch["user_id"], pa.int64()), win),
-            pa.scalar(n_buckets - 1, pa.int64()),
-        )
+        uid = pc.cast(batch["user_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        bucket = (uid ^ win) & (n_buckets - 1)
         return pa.table(
-            {"user_id": batch["user_id"], "win": win,
-             "value_mil": pa.array(v), "bucket": bucket}
+            {"user_id": batch["user_id"], "win": pa.array(win),
+             "value_mil": pa.array(v), "bucket": pa.array(bucket)}
         )
 
     def agg(g: pd.DataFrame) -> pd.DataFrame:
@@ -264,32 +268,37 @@ def quality_filter(sf_dir: str, min_tokens: int = 10, max_token_len: int = 40,
                    min_alpha_ratio_e3: int = 500) -> pd.DataFrame:
     """Training-data quality gate: keep documents passing token-count,
     max-token-length, and alpha-character-ratio thresholds — the
-    classic pre-training corpus filter, fully vectorized per batch;
-    returns kept (doc_id, n_tokens, alpha_ratio_e3)."""
+    classic pre-training corpus filter. Fully vectorized with Arrow
+    kernels (regex split / replace, no per-row Python), and uses
+    ASCII [A-Za-z] alpha semantics so the kernel stays equal to the
+    DuckDB/RE2 oracle on non-ASCII documents too."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def f(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        ids = batch["doc_id"].to_pylist()
-        keep_id, keep_tok, keep_ratio = [], [], []
-        for d, t in zip(ids, texts):
-            toks = t.split()
-            if len(toks) < min_tokens:
-                continue
-            if toks and max(len(w) for w in toks) > max_token_len:
-                continue
-            n_alpha = sum(1 for ch in t if ch.isalpha())
-            ratio_e3 = n_alpha * 1000 // max(1, len(t))
-            if ratio_e3 < min_alpha_ratio_e3:
-                continue
-            keep_id.append(d)
-            keep_tok.append(len(toks))
-            keep_ratio.append(ratio_e3)
+        text = pc.cast(batch["text"], pa.large_string())
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(text), r"\s+"
+        ).combine_chunks()
+        n_tokens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        # per-document max token length: flat lengths + reduceat over
+        # the list offsets (vectorized; empty docs -> 0)
+        flat_len = pc.utf8_length(toks.flatten()).to_numpy(zero_copy_only=False)
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        mx = np.zeros(len(toks), dtype=np.int64)
+        nonempty = offsets[:-1] < offsets[1:]
+        if nonempty.any():
+            mx[nonempty] = np.maximum.reduceat(flat_len, offsets[:-1][nonempty])
+        n_alpha = pc.utf8_length(
+            pc.replace_substring_regex(text, "[^A-Za-z]", "")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        ratio_e3 = n_alpha * 1000 // np.maximum(1, n_chars)
+        keep = (n_tokens >= min_tokens) & (mx <= max_token_len) & (ratio_e3 >= min_alpha_ratio_e3)
         return pa.table(
             {
-                "doc_id": pa.array(keep_id, pa.int64()),
-                "n_tokens": pa.array(keep_tok, pa.int64()),
-                "alpha_ratio_e3": pa.array(keep_ratio, pa.int64()),
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()).filter(pa.array(keep)),
+                "n_tokens": pa.array(n_tokens[keep]),
+                "alpha_ratio_e3": pa.array(ratio_e3[keep]),
             }
         )
 
@@ -321,31 +330,42 @@ def top_docs_by_len(sf_dir: str, k: int = 20) -> pd.DataFrame:
 
 # ------------------------------------- dimension-chain join over fact table
 def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
-    """Revenue per customer nation: broadcast the (custkey -> nation
-    name) map built from the small dimension chain, then a combiner
-    aggregation over the lineitem⋈orders fact side. The orders->cust
-    map is itself broadcast (orders ≪ lineitem)."""
+    """Revenue per customer nation: broadcast a SORTED (o_orderkey ->
+    nation-code) array pair built from the small dimension chain, then
+    binary-search (np.searchsorted) each lineitem batch against it and
+    fold revenue with np.bincount over the ~25 nation codes — fully
+    vectorized, no per-row Python, tiny partials. The broadcast side
+    is O(|orders|) ints, shipped once via ray.put."""
     cust = _read_small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     nation = _read_small(sf_dir, "nation", ["n_nationkey", "n_name"])
     orders = _read_small(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    c2n = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
-    n2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
-    o2nation = {
-        int(o): n2name[c2n[int(c)]] for o, c in zip(orders["o_orderkey"], orders["o_custkey"])
-    }
-    ref = ray.put(o2nation)
+    nation = nation.sort_values("n_name").reset_index(drop=True)
+    nk2code = dict(zip(nation["n_nationkey"], range(len(nation))))
+    cust = cust.assign(code=cust["c_nationkey"].map(nk2code).astype(np.int64))
+    om = orders.merge(cust[["c_custkey", "code"]], left_on="o_custkey",
+                      right_on="c_custkey").sort_values("o_orderkey")
+    okeys = om["o_orderkey"].to_numpy().astype(np.int64)
+    ocodes = om["code"].to_numpy()
+    names = nation["n_name"].tolist()
+    ref = ray.put((okeys, ocodes))
 
     def partial(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(ref)
-        df = batch.to_pandas()
-        df["n_name"] = [lookup[int(o)] for o in df["l_orderkey"]]
-        df["rev_c"] = np.floor(
-            df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy()) * 100.0 + 0.5
+        keys, codes = ray.get(ref)  # zero-copy numpy views of the broadcast
+        lk = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        code = codes[np.searchsorted(keys, lk)]  # every l_orderkey exists
+        rev = np.floor(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)) * 100.0 + 0.5
         ).astype(np.int64)
-        g = df.groupby("n_name", as_index=False).agg(
-            revenue_c=("rev_c", "sum"), n_items=("rev_c", "size")
+        rev_by_code = np.bincount(code, weights=rev, minlength=len(names)).astype(np.int64)
+        n_by_code = np.bincount(code, minlength=len(names)).astype(np.int64)
+        return pa.table(
+            {
+                "n_name": pa.array(names),
+                "revenue_c": pa.array(rev_by_code),
+                "n_items": pa.array(n_by_code),
+            }
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     from ray.data.aggregate import Sum
@@ -356,4 +376,5 @@ def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
         .aggregate(Sum("revenue_c", alias_name="revenue_c"), Sum("n_items", alias_name="n_items"))
         .to_pandas()
     )
+    out = out[out["n_items"] > 0]  # dense bincount emits all nations; drop unseen
     return out.sort_values("n_name").reset_index(drop=True)

@@ -94,7 +94,10 @@ class LangId:
 
     def __init__(self):
         self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
-        self.word = re.compile(r"\w+", re.UNICODE)
+        # ASCII \w, NOT Python's Unicode \w: the DuckDB/RE2 oracle's
+        # \w is ASCII-only, so the kernels must agree on non-ASCII text
+        # (Unicode \w would let the zh profile match only on the Ray side)
+        self.word = re.compile(r"[A-Za-z0-9_]+")
         self.langs = sorted(self.profiles)
         self.profile_arrays = {
             k: np.array(sorted(v), dtype=object) for k, v in _LANG_PROFILES.items()

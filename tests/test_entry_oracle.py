@@ -57,6 +57,13 @@ def test_query_matches_oracle(ray_session, con, name):
     assert list(ours.columns) == list(theirs.columns), (ours.columns, theirs.columns)
     assert len(ours) == len(theirs)
     for c in ours.columns:
+        # the driver's value hash is dtype-sensitive: DuckDB sum() yields
+        # HUGEINT -> float64 in pandas unless the SQL CASTs it back; catch
+        # any representation drift here, not in CORRECTNESS_r{N}.json
+        assert ours[c].dtype == theirs[c].dtype, (
+            f"{name}.{c} dtype drift: ray={ours[c].dtype} oracle={theirs[c].dtype}"
+        )
+    for c in ours.columns:
         a, b = ours[c].tolist(), theirs[c].tolist()
         if ours[c].dtype.kind == "f":
             assert all(
