@@ -73,6 +73,8 @@ class CrawlConfig:
     robots: dict = field(default_factory=dict)  # host -> [disallow prefixes]
     checkpoint_every: int = 0      # waves; 0 = disabled
     flaky_rate: float = 0.0
+    retries: int = 3               # in-stage transient-retry budget
+    backoff_base: float = 0.0      # secs; base*2^attempt between retries
     max_waves: int = 100_000
     capacity_per_shard: int = 1_000_000
     fetch_assets: bool = True      # False = --get-urls style dry run:
@@ -152,7 +154,8 @@ class Crawler:
         store_ref = put_store(self.pages_path)
         fetch = functools.partial(
             fetch_batch, pages_path=store_ref, frontier=frontier,
-            flaky_rate=cfg.flaky_rate,
+            flaky_rate=cfg.flaky_rate, retries=cfg.retries,
+            backoff_base=cfg.backoff_base,
         )
 
         def run_pages(pages_t, w: int) -> None:

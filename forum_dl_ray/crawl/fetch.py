@@ -97,6 +97,20 @@ def get_store(src) -> PageStore:
     return store
 
 
+def _transient_attempts(url: str, flaky_rate: float, retries: int) -> int:
+    """Deterministic number of transient failures this URL produces
+    before succeeding: 0 for most URLs; for the seeded flaky subset,
+    1..max(1, retries) consecutive 503s. With a retry budget >= that
+    count the URL always recovers in-stage; with a smaller budget it
+    exhausts and lands in the failed set (session.py:117-141 parity)."""
+    if flaky_rate <= 0.0:
+        return 0
+    h = int.from_bytes(hashlib.blake2b(url.encode(), digest_size=8).digest(), "little")
+    if (h % 1000) >= int(flaky_rate * 1000):
+        return 0
+    return 1 + (h // 1000) % max(1, retries)
+
+
 def fetch_batch(
     batch: pa.Table,
     *,
@@ -104,10 +118,15 @@ def fetch_batch(
     frontier: Any = None,
     flaky_rate: float = 0.0,
     retries: int = 3,
+    backoff_base: float = 0.0,
 ) -> pa.Table:
     """Frontier-entry batch → fetched batch (+ body/status/content_type,
-    sha1/n_bytes lineage fields). Marks permanent failures in the
-    frontier failed-set (batched RPC, only when failures exist).
+    sha1/n_bytes lineage fields, n_attempts). Transient failures are
+    retried IN-STAGE with bounded exponential backoff (reference
+    session.py:117-141: sleep base*2^attempt, give up after `retries`
+    and fall through to the failed set). Permanent failures (missing /
+    status>=400) are marked in the frontier failed-set (batched RPC,
+    only when failures exist) and never re-fetched.
     ``pages_path`` is a broadcast store ref or a parquet path."""
     store = get_store(pages_path)
     urls = batch["url"].to_pylist()
@@ -118,6 +137,7 @@ def fetch_batch(
     ctypes: list[str] = []
     sha1s: list[str] = []
     nbytes: list[int] = []
+    attempts_out: list[int] = []
     body_col = store.table["body"]
     status_col = store.table["status"]
     ctype_col = store.table["content_type"]
@@ -130,16 +150,24 @@ def fetch_batch(
             ctypes.append("")
             sha1s.append("")
             nbytes.append(0)
+            attempts_out.append(1)
             failed_idx.append(i)
             continue
-        status = status_col[r].as_py()
-        if flaky_rate > 0.0:
-            # deterministic transient failure on attempt 1 for a seeded
-            # subset; succeeds within `retries` in-stage attempts
-            h = int.from_bytes(hashlib.blake2b(url.encode(), digest_size=4).digest(), "little")
-            transient = (h % 1000) < int(flaky_rate * 1000)
-            if transient and retries < 1:
-                status = 503
+        # bounded in-stage retry loop over the (simulated) transport:
+        # attempt 0 plus up to `retries` backoff retries on 503
+        fail_n = _transient_attempts(url, flaky_rate, retries)
+        status = None
+        attempt = 0
+        while True:
+            status = 503 if attempt < fail_n else status_col[r].as_py()
+            attempt += 1
+            if status != 503 or attempt > retries:
+                break
+            if backoff_base > 0.0:
+                import time
+
+                time.sleep(backoff_base * (2 ** (attempt - 1)))
+        attempts_out.append(attempt)
         if status != 200:
             bodies.append(b"")
             statuses.append(int(status))
@@ -164,4 +192,5 @@ def fetch_batch(
         .append_column("content_type", pa.array(ctypes, pa.string()))
         .append_column("bytes_sha1", pa.array(sha1s, pa.string()))
         .append_column("n_bytes", pa.array(nbytes, pa.int64()))
+        .append_column("n_attempts", pa.array(attempts_out, pa.int32()))
     )

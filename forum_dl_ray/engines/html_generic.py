@@ -63,7 +63,7 @@ def classify_page(body: bytes) -> str:
     text = body.decode("utf-8", "replace")
     if BOARD_ITEM_RE.search(text) or THREAD_ITEM_RE.search(text):
         return "board"
-    if POST_RE.search(text):
+    if POST_RE.search(text) or DIALECT_RE.search(text):
         return "thread"
     return "board"
 
@@ -210,12 +210,51 @@ def _posts_proboards(text: str):
         yield f"p{num}", author, dt.replace(tzinfo=None).isoformat(), indent, content
 
 
+# vBulletin family (reference vbulletin.py:349-371): data-node-id row
+# ids, author in div.author > a, <time itemprop="dateCreated">, content
+# in .js-post__content-text; rows whose class list contains `b-comment`
+# are SKIPPED ("No support for comments for now", vbulletin.py:352-354)
+VBULLETIN_POST_RE = re.compile(
+    r'<div class="b-post( b-comment)?" data-node-id="([^"]+)" data-indent="(\d+)">\s*'
+    r'<div class="author"><a>([^<]*)</a></div>\s*'
+    r'<time itemprop="dateCreated" datetime="([^"]*)"></time>\s*'
+    r'<div class="js-post__content-text">(.*?)</div>\s*</div>',
+    re.S,
+)
+
+# Invision family (reference invision.py:208-228): elComment_(\d+) row
+# ids, author h3.cAuthorPane_author > a in the cAuthorPane pane, ISO
+# <time datetime>, content in div[data-role=commentContent]
+INVISION_POST_RE = re.compile(
+    r'<article class="ipsComment" id="elComment_(\d+)" data-indent="(\d+)">\s*'
+    r'<div class="cAuthorPane_content">\s*'
+    r'<h3 class="cAuthorPane_author"><a>([^<]*)</a></h3>\s*'
+    r'<time datetime="([^"]*)"></time></div>\s*'
+    r'<div data-role="commentContent">(.*?)</div>\s*</article>',
+    re.S,
+)
+
+
+def _posts_vbulletin(text: str):
+    for comment, num, indent, author, time_iso, content in VBULLETIN_POST_RE.findall(text):
+        if comment:  # b-comment row: reference skips comments
+            continue
+        yield f"p{num}", author, time_iso, indent, content
+
+
+def _posts_invision(text: str):
+    for num, indent, author, time_iso, content in INVISION_POST_RE.findall(text):
+        yield f"p{num}", author, time_iso, indent, content
+
+
 DIALECT_KERNELS = {
     "generic": _posts_generic,
     "phpbb": _posts_phpbb,
     "xenforo": _posts_xenforo,
     "smf": _posts_smf,
     "proboards": _posts_proboards,
+    "vbulletin": _posts_vbulletin,
+    "invision": _posts_invision,
 }
 
 

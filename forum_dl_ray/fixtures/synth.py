@@ -317,6 +317,33 @@ def _post_markup(dialect: str, p: dict) -> str:
             f' data-indent="{ind}"><span class="author">{author}</span>'
             f'<div class="content">{content}</div></div>'
         )
+    if dialect == "vbulletin":
+        # reference vbulletin.py:349-371 layout: data-node-id rows,
+        # js-post__content-text content, itemprop dateCreated time;
+        # every post is followed by a `b-comment` row the extractor
+        # must SKIP (vbulletin.py:352-354 "No support for comments")
+        num = pid.lstrip("p")
+        return (
+            f'<div class="b-post" data-node-id="{num}" data-indent="{ind}">'
+            f'<div class="author"><a>{author}</a></div>'
+            f'<time itemprop="dateCreated" datetime="{t}"></time>'
+            f'<div class="js-post__content-text">{content}</div></div>'
+            f'<div class="b-post b-comment" data-node-id="{num}9000" data-indent="0">'
+            f'<div class="author"><a>commenter@{author.split("@")[-1]}</a></div>'
+            f'<time itemprop="dateCreated" datetime="{t}"></time>'
+            f'<div class="js-post__content-text"><p>comment noise on {pid}</p></div></div>'
+        )
+    if dialect == "invision":
+        # reference invision.py:208-228 layout: elComment_(\d+) ids,
+        # cAuthorPane author pane, data-role=commentContent content
+        num = pid.lstrip("p")
+        return (
+            f'<article class="ipsComment" id="elComment_{num}" data-indent="{ind}">'
+            f'<div class="cAuthorPane_content">'
+            f'<h3 class="cAuthorPane_author"><a>{author}</a></h3>'
+            f'<time datetime="{t}"></time></div>'
+            f'<div data-role="commentContent">{content}</div></article>'
+        )
     return (
         f'<div class="post" id="{pid}" data-author="{author}"'
         f' data-time="{t}" data-indent="{ind}">'
@@ -522,7 +549,9 @@ def dialects_spec() -> FixtureSpec:
     M17 date-style normalization: ISO <time>, free-text month-name,
     epoch millis)."""
     sites = []
-    for i, dialect in enumerate(["phpbb", "xenforo", "smf", "proboards"]):
+    for i, dialect in enumerate(
+        ["phpbb", "xenforo", "smf", "proboards", "vbulletin", "invision"]
+    ):
         sites.append(
             SiteSpec(host=f"{dialect}.test", dialect=dialect, n_top_boards=1,
                      sub_levels=0, threads_per_board=2, threads_per_page=2,

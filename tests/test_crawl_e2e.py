@@ -134,3 +134,48 @@ def test_resume_equals_uninterrupted(ray_session, fixture_dir, tmp_path, golden)
     df = _crawled_items(out)
     assert [r["order_key"] for r in golden.entries] == df["order_key"].tolist()
     assert [g["content"] for g in golden.entries] == df["content"].tolist()
+
+
+def test_fetch_batch_retries_transient(ray_session, fixture_dir):
+    """S2: the in-stage bounded retry loop (reference session.py:117-141).
+    Flaky URLs fail with 503 on their first 1..retries attempts and must
+    recover in-stage when the budget covers them; with retries=0 the
+    budget is exhausted immediately and the URL surfaces as 503."""
+    import pyarrow as pa
+
+    from forum_dl_ray.crawl.fetch import _transient_attempts, fetch_batch
+
+    pages = pq.read_table(os.path.join(fixture_dir, "pages.parquet"))
+    ok_urls = [u for u, s in zip(pages["url"].to_pylist(), pages["status"].to_pylist())
+               if s == 200][:40]
+    batch = pa.table({"url": pa.array(ok_urls)})
+    flaky_rate = 0.3
+    flaky = [u for u in ok_urls if _transient_attempts(u, flaky_rate, 3) > 0]
+    assert flaky, "fixture too small to seed any flaky URL at rate 0.3"
+
+    out = fetch_batch(batch, pages_path=os.path.join(fixture_dir, "pages.parquet"),
+                      flaky_rate=flaky_rate, retries=3)
+    att = dict(zip(out["url"].to_pylist(), out["n_attempts"].to_pylist()))
+    stat = dict(zip(out["url"].to_pylist(), out["status"].to_pylist()))
+    assert all(stat[u] == 200 for u in ok_urls)          # all recovered
+    assert all(att[u] > 1 for u in flaky)                # retries happened
+    assert all(att[u] == 1 for u in ok_urls if u not in flaky)
+
+    out0 = fetch_batch(batch, pages_path=os.path.join(fixture_dir, "pages.parquet"),
+                       flaky_rate=flaky_rate, retries=0)
+    stat0 = dict(zip(out0["url"].to_pylist(), out0["status"].to_pylist()))
+    assert all(stat0[u] == 503 for u in flaky)           # budget exhausted
+    assert all(stat0[u] == 200 for u in ok_urls if u not in flaky)
+
+
+def test_flaky_crawl_matches_golden(ray_session, fixture_dir, golden, tmp_path):
+    """E2E: a crawl with transient failures + in-stage retry produces the
+    exact same seen set, failed flags, and ordered output as flaky_rate=0."""
+    out = str(tmp_path / "flaky")
+    Crawler(fixture_dir, out,
+            CrawlConfig(num_shards=2, target_tasks=2, flaky_rate=0.2, retries=3)).run()
+    seen = pq.read_table(os.path.join(out, "seen.parquet")).to_pylist()
+    assert {r["url"]: r["failed"] for r in seen} == golden.seen
+    df = _crawled_items(out)
+    assert df["order_key"].tolist() == [g["order_key"] for g in golden.entries]
+    assert df["content"].tolist() == [g["content"] for g in golden.entries]

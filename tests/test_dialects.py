@@ -50,7 +50,7 @@ def test_dialect_fields_extracted(crawl_out):
     df = ordered_items(crawl_out).to_pandas()
     posts = df[df["type"] == "post"]
     hosts = posts["origin"].str.extract(r"http://([^.]+)\.")[0]
-    assert set(hosts) == {"phpbb", "xenforo", "smf", "proboards"}
+    assert set(hosts) == {"phpbb", "xenforo", "smf", "proboards", "vbulletin", "invision"}
     # every dialect produced authors and normalized timestamps
     for h, g in posts.groupby(hosts):
         assert g["author"].str.len().gt(0).all(), h
@@ -59,3 +59,9 @@ def test_dialect_fields_extracted(crawl_out):
     # SMF's minute-precision free-text dates round-trip to :00 seconds
     smf = posts[hosts == "smf"]
     assert all(pd.Timestamp(t).second == 0 for t in smf["creation_time"])
+    # vBulletin b-comment rows are interleaved in every thread page of
+    # the fixture; the kernel must skip them (reference vbulletin.py:352)
+    vb = posts[hosts == "vbulletin"]
+    assert len(vb) > 0
+    assert not vb["content"].str.contains("comment noise").any()
+    assert not vb["author"].str.startswith("commenter@").any()
