@@ -39,7 +39,7 @@ def entry() -> Any:
     langs = text.lang_id(sf_dir).to_pandas()
     fps = text.fingerprints(sf_dir).to_pandas()
     keepers = set(dedup.exact_dedup_keepers(sf_dir)["doc_id"])
-    clusters = dedup.minhash_clusters(sf_dir)
+    clusters = dedup.minhash_clusters(sf_dir).to_pandas()
 
     df = stats.merge(langs, on="doc_id").merge(fps, on="doc_id").merge(clusters, on="doc_id")
     df["is_exact_keeper"] = df["doc_id"].isin(keepers)

@@ -10,9 +10,9 @@
   hamming verify.
 - n-gram Jaccard: exact pairwise within LSH buckets (the verify stage
   exposed standalone).
-- embedding cosine near-dup: blocked all-pairs cosine against a
-  broadcast matrix (exact at test scale; the IVF variant in
-  similarity.py is the 10^9-row path).
+- embedding cosine near-dup: distributed block-vs-block all-pairs
+  cosine over object-store Arrow block refs (exact; the IVF variant
+  in similarity.py is the approximate 10^9-row path).
 
 All shuffles are on small derived tables (hashes / band keys), never
 on full text bodies.
@@ -162,10 +162,78 @@ def _jaccard(a: set, b: set) -> float:
     return len(a & b) / len(a | b)
 
 
+def _verify_pairs_jaccard(sf_dir: str, cand: pd.DataFrame, shingle: int,
+                          n_buckets: int = 64) -> np.ndarray:
+    """Exact shingle Jaccard per candidate pair, fully distributed:
+
+    1. broadcast a (doc_id -> [(pair_idx, side)]) map built from the
+       SMALL candidate-pair table (pairs ≪ corpus, the LSH guarantee);
+    2. a map_batches stage over `documents` shingles ONLY candidate
+       docs (non-candidates are filtered out before any hashing) and
+       replicates each doc's shingle-hash array once per pair it
+       participates in, keyed by pair_idx;
+    3. a pair_idx-bucketed map_groups co-locates both sides of every
+       pair and computes exact Jaccard.
+
+    Text bodies never leave the scan stage and the corpus is never
+    materialized on the driver (the round-1 version pulled the whole
+    documents table through Dataset.to_pandas())."""
+    doc2pairs: dict[int, list[tuple[int, int]]] = {}
+    for pidx, (a, b) in enumerate(zip(cand["id_a"], cand["id_b"])):
+        doc2pairs.setdefault(int(a), []).append((pidx, 0))
+        doc2pairs.setdefault(int(b), []).append((pidx, 1))
+    map_ref = ray.put(doc2pairs)
+
+    def shingle_stage(batch: pa.Table) -> pa.Table:
+        d2p = ray.get(map_ref)
+        ids = batch["doc_id"].to_pylist()
+        sel = [i for i, d in enumerate(ids) if int(d) in d2p]
+        out_pair, out_side, out_hashes = [], [], []
+        if sel:
+            texts = batch["text"].take(pa.array(sel)).to_pylist()
+            for i, hashes in zip(sel, token_hashes(texts, shingle=shingle)):
+                h64 = hashes.astype(np.int64).tolist()
+                for pidx, side in d2p[int(ids[i])]:
+                    out_pair.append(pidx)
+                    out_side.append(side)
+                    out_hashes.append(h64)
+        return pa.table(
+            {
+                "pair_idx": pa.array(out_pair, pa.int64()),
+                "side": pa.array(out_side, pa.int32()),
+                "hashes": pa.array(out_hashes, pa.list_(pa.int64())),
+                "bucket": pa.array([p & (n_buckets - 1) for p in out_pair], pa.int64()),
+            }
+        )
+
+    def pair_jaccard(g: pd.DataFrame) -> pd.DataFrame:
+        out_idx, out_jac = [], []
+        for pidx, grp in g.groupby("pair_idx", sort=False):
+            sides = {int(s): set(h) for s, h in zip(grp["side"], grp["hashes"])}
+            if len(sides) == 2:
+                out_idx.append(int(pidx))
+                out_jac.append(_jaccard(sides[0], sides[1]))
+        return pd.DataFrame({"pair_idx": pd.Series(out_idx, dtype="int64"),
+                             "jacc": pd.Series(out_jac, dtype="float64")})
+
+    verified = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(shingle_stage, batch_format="pyarrow", runtime_env=_RENV, batch_size=4096)
+        .groupby("bucket")
+        .map_groups(pair_jaccard, batch_format="pandas", runtime_env=_RENV)
+        .to_pandas()  # n_pairs rows — small by construction
+    )
+    jac = np.zeros(len(cand), dtype=np.float64)
+    jac[verified["pair_idx"].to_numpy()] = verified["jacc"].to_numpy()
+    return jac
+
+
 def minhash_dedup_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
                         shingle: int = 3, threshold: float = 0.5) -> pd.DataFrame:
     """Candidate pairs from LSH buckets, verified by exact shingle
-    Jaccard ≥ threshold. Returns (id_a, id_b, jacc_r) with id_a<id_b."""
+    Jaccard ≥ threshold (distributed verify — see
+    :func:`_verify_pairs_jaccard`). Returns (id_a, id_b, jacc_r) with
+    id_a<id_b."""
     band_ds = minhash_bands(sf_dir, num_perm, bands, shingle)
 
     cand = _lsh_candidate_pairs(band_ds, ["band_id", "band_hash"])
@@ -174,31 +242,21 @@ def minhash_dedup_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
                              "id_b": pd.Series([], dtype="int64"),
                              "jacc_r": pd.Series([], dtype="float64")})
     cand = cand.drop_duplicates().astype({"id_a": "int64", "id_b": "int64"})
+    cand = cand.reset_index(drop=True)
 
-    # verify: fetch shingle sets for candidate doc ids (small set) and
-    # compute exact Jaccard — broadcast the shingle map to a verify stage
-    need = sorted(set(cand["id_a"]) | set(cand["id_b"]))
-    docs = _read_docs(sf_dir, ["doc_id", "text"]).to_pandas()
-    docs = docs[docs["doc_id"].isin(need)]
-    shingles = {
-        int(d): set(h.tolist())
-        for d, h in zip(docs["doc_id"], token_hashes(list(docs["text"]), shingle=shingle))
-    }
-    jac = [
-        _jaccard(shingles[int(a)], shingles[int(b)])
-        for a, b in zip(cand["id_a"], cand["id_b"])
-    ]
-    cand["jacc_r"] = np.round(jac, 4)
+    cand["jacc_r"] = np.round(_verify_pairs_jaccard(sf_dir, cand, shingle), 4)
     out = cand[cand["jacc_r"] >= threshold]
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
-def minhash_clusters(sf_dir: str, **kw) -> pd.DataFrame:
+def minhash_clusters(sf_dir: str, **kw) -> rd.Dataset:
     """(doc_id, cluster_id) with cluster_id = min doc_id reachable via
-    verified near-dup pairs (union-find on the verified pair set —
-    driver-side, valid because verified pairs ≪ corpus; the iterative
-    min-label-propagation groupby is the fallback at larger pair
-    counts)."""
+    verified near-dup pairs. Union-find runs on the driver over the
+    verified PAIR set only (pairs ≪ corpus); the fully-collapsed
+    root map is then broadcast and cluster ids are assigned VECTORIZED
+    in a streaming map_batches over the corpus — no O(corpus) driver
+    loop, and the result stays a Dataset (write_parquet-able at
+    scale)."""
     pairs = minhash_dedup_pairs(sf_dir, **kw)
     parent: dict[int, int] = {}
 
@@ -212,11 +270,21 @@ def minhash_clusters(sf_dir: str, **kw) -> pd.DataFrame:
         ra, rb = find(int(a)), find(int(b))
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    all_ids = _read_docs(sf_dir, ["doc_id"]).to_pandas()["doc_id"]
-    out = pd.DataFrame(
-        {"doc_id": all_ids, "cluster_id": [find(int(d)) for d in all_ids]}
+    # collapse every chain so the broadcast map is a direct doc->root
+    # lookup (size O(#docs-in-pairs), tiny)
+    roots = {d: find(d) for d in list(parent)}
+    root_ref = ray.put(roots)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        r = ray.get(root_ref)
+        ids = pd.Series(batch["doc_id"].to_numpy(zero_copy_only=False))
+        cluster = ids.map(r).fillna(ids).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids.to_numpy(), pa.int64()),
+                         "cluster_id": pa.array(cluster.to_numpy(), pa.int64())})
+
+    return _read_docs(sf_dir, ["doc_id"]).map_batches(
+        assign, batch_format="pyarrow", runtime_env=_RENV, batch_size=65536
     )
-    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 # ------------------------------------------------------------ simhash dedup
@@ -255,51 +323,95 @@ def simhash_dedup_pairs(sf_dir: str, max_hamming: int = 8) -> pd.DataFrame:
                              "id_b": pd.Series([], dtype="int64"),
                              "hamming": pd.Series([], dtype="int64")})
     cand = cand.drop_duplicates().astype({"id_a": "int64", "id_b": "int64"})
-    hmap = dict(zip(*(lambda df: (df["doc_id"], df["simhash"]))(sh.to_pandas())))
-    ham = [
-        bin((int(hmap[a]) ^ int(hmap[b])) & ((1 << 64) - 1)).count("1")
-        for a, b in zip(cand["id_a"], cand["id_b"])
-    ]
+    # distributed semi-join: broadcast the candidate-id set, filter the
+    # simhash stream to it, collect ONLY candidate rows (≪ corpus) —
+    # round 1 materialized the full simhash table on the driver here
+    need = set(map(int, cand["id_a"])) | set(map(int, cand["id_b"]))
+    need_ref = ray.put(np.sort(np.fromiter(need, dtype=np.int64)))
+
+    def only_candidates(batch: pa.Table) -> pa.Table:
+        keys = ray.get(need_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(keys, ids)
+        pos[pos >= len(keys)] = len(keys) - 1
+        return batch.filter(pa.array(keys[pos] == ids))
+
+    cand_rows = sh.map_batches(
+        only_candidates, batch_format="pyarrow", runtime_env=_RENV, batch_size=65536
+    ).to_pandas()
+    hmap = dict(zip(cand_rows["doc_id"], cand_rows["simhash"]))
+    # vectorized hamming: xor then popcount via unpackbits (no per-pair
+    # Python popcount)
+    av = np.array([hmap[a] for a in cand["id_a"]], dtype=np.int64).view(np.uint64)
+    bv = np.array([hmap[b] for b in cand["id_b"]], dtype=np.int64).view(np.uint64)
+    x = (av ^ bv).view(np.uint8).reshape(len(cand), 8)
+    ham = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
     cand["hamming"] = pd.Series(ham, index=cand.index, dtype="int64")
     out = cand[cand["hamming"] <= max_hamming]
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 # ------------------------------------------------- embedding cosine dedup
-def embedding_dedup_pairs(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
-    """Exact blocked all-pairs cosine: each batch is multiplied against
-    the broadcast normalized matrix (numpy matmul) — O(n^2) FLOPs but
-    streamed in blocks; the IVF path (similarity.ivf_build/ivf_search)
-    is the approximate 10^9-row variant."""
+def embedding_dedup_pairs(sf_dir: str, threshold: float = 0.4,
+                          target_blocks: int = 8) -> pd.DataFrame:
+    """Exact distributed block-vs-block all-pairs cosine: the corpus is
+    normalized in a map_batches stage and materialized as Arrow block
+    refs IN THE OBJECT STORE (the driver never holds the matrix), then
+    one Ray task per block pair (i<=j) computes the matmul and keeps
+    only pairs >= threshold. O(n^2) FLOPs split across B*(B+1)/2
+    independent tasks — the exact path; the IVF family in
+    similarity.py is the approximate 10^9-row variant."""
     emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                          columns=["vec_id", "embedding"])
-    full = emb.to_pandas()
-    ids = full["vec_id"].to_numpy()
-    mat = np.stack(full["embedding"].to_numpy()).astype(np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    ref = ray.put((ids, mat))
+                          columns=["vec_id", "embedding"],
+                          override_num_blocks=target_blocks)
 
-    def block(batch: pa.Table) -> pa.Table:
-        all_ids, all_mat = ray.get(ref)
-        bids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        bmat = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
-        bmat /= np.linalg.norm(bmat, axis=1, keepdims=True)
-        sims = bmat @ all_mat.T
-        src, dst = np.nonzero(sims >= threshold)
-        a = bids[src]
-        b = all_ids[dst]
-        keep = a < b
+    def normalize(batch: pa.Table) -> pa.Table:
+        mat = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat /= norms
         return pa.table(
             {
-                "id_a": pa.array(a[keep], pa.int64()),
-                "id_b": pa.array(b[keep], pa.int64()),
+                "vec_id": pc.cast(batch["vec_id"], pa.int64()),
+                "nemb": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mat.ravel(), pa.float64()), mat.shape[1]
+                ),
+            }
+        )
+
+    refs = emb.map_batches(
+        normalize, batch_format="pyarrow", runtime_env=_RENV, batch_size=8192
+    ).to_arrow_refs()
+
+    @ray.remote(num_cpus=1)
+    def block_pair(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        ids_a = ta["vec_id"].to_numpy(zero_copy_only=False)
+        ids_b = tb["vec_id"].to_numpy(zero_copy_only=False)
+        dim = ta["nemb"].type.list_size
+        ma = np.asarray(ta["nemb"].combine_chunks().flatten()).reshape(-1, dim)
+        mb = np.asarray(tb["nemb"].combine_chunks().flatten()).reshape(-1, dim)
+        sims = ma @ mb.T
+        src, dst = np.nonzero(sims >= threshold)
+        a, b = ids_a[src], ids_b[dst]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo < hi  # drop self-pairs; cross-block keeps all once
+        if same:
+            keep &= a < b  # intra-block: upper triangle only
+        return pa.table(
+            {
+                "id_a": pa.array(lo[keep], pa.int64()),
+                "id_b": pa.array(hi[keep], pa.int64()),
                 "cos_r": pa.array(np.round(sims[src, dst][keep], 4), pa.float64()),
             }
         )
 
-    out = emb.map_batches(block, batch_format="pyarrow", runtime_env=_RENV, batch_size=2048).to_pandas()
-    if "id_a" not in out.columns:  # all blocks empty -> columnless frame
-        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                             "id_b": pd.Series([], dtype="int64"),
-                             "cos_r": pd.Series([], dtype="float64")})
+    futures = []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            futures.append(block_pair.remote(refs[i], refs[j], i == j))
+    tables = ray.get(futures)  # each table holds only >=threshold pairs
+    out = pa.concat_tables(tables).to_pandas() if tables else pd.DataFrame(
+        {"id_a": pd.Series([], dtype="int64"),
+         "id_b": pd.Series([], dtype="int64"),
+         "cos_r": pd.Series([], dtype="float64")})
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -168,27 +168,51 @@ def image_phash_neardup(sf_dir: str, max_hamming: int = 12) -> pd.DataFrame:
     band_ds = ds.map_batches(
         explode, batch_format="pyarrow", batch_size=4096, runtime_env=_RENV
     )
-    full = _read_images(["image_id", "phash"]).to_pandas()
-    import hashlib as _hl
-
-    num2id = {
-        int.from_bytes(_hl.blake2b(d.encode(), digest_size=7).digest(), "little"): d
-        for d in full["image_id"]
-    }
     cand = _lsh_candidate_pairs(band_ds, ["band_id", "band_hash"])
     if len(cand) == 0:
         return pd.DataFrame({"id_a": pd.Series([], dtype="str"),
                              "id_b": pd.Series([], dtype="str"),
                              "hamming": pd.Series([], dtype="int64")})
     cand = cand.drop_duplicates()
-    pmap = dict(zip(full["image_id"], full["phash"]))
-    rows = []
-    for a, b in zip(cand["id_a"], cand["id_b"]):
-        ia, ib = sorted((num2id[int(a)], num2id[int(b)]))
-        ham = bin((pmap[ia] ^ pmap[ib]) & ((1 << 64) - 1)).count("1")
-        if ham <= max_hamming:
-            rows.append((ia, ib, ham))
-    out = pd.DataFrame(sorted(set(rows)), columns=["id_a", "id_b", "hamming"])
+    # distributed semi-join: broadcast the candidate id-hash set and
+    # filter the (image_id, phash) stream to it — only candidate rows
+    # (≪ corpus) ever reach the driver
+    import ray as _ray
+
+    need = np.sort(np.unique(np.concatenate(
+        [cand["id_a"].to_numpy(np.int64), cand["id_b"].to_numpy(np.int64)])))
+    need_ref = _ray.put(need)
+
+    def only_candidates(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        keys = _ray.get(need_ref)
+        ids = batch["image_id"].to_pylist()
+        nums = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(d.encode(), digest_size=7).digest(), "little")
+             for d in ids), dtype=np.int64, count=len(ids))
+        pos = np.searchsorted(keys, nums)
+        pos[pos >= len(keys)] = len(keys) - 1
+        mask = keys[pos] == nums
+        return batch.filter(pa.array(mask)).append_column(
+            "id_num", pa.array(nums[mask], pa.int64()))
+
+    cand_rows = _read_images(["image_id", "phash"]).map_batches(
+        only_candidates, batch_format="pyarrow", batch_size=8192, runtime_env=_RENV
+    ).to_pandas()
+    num2id = dict(zip(cand_rows["id_num"], cand_rows["image_id"]))
+    pmap = dict(zip(cand_rows["id_num"], cand_rows["phash"]))
+    # vectorized hamming popcount over the candidate pairs
+    av = cand["id_a"].map(pmap).to_numpy(np.int64).view(np.uint64)
+    bv = cand["id_b"].map(pmap).to_numpy(np.int64).view(np.uint64)
+    x = (av ^ bv).view(np.uint8).reshape(len(cand), 8)
+    ham = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
+    rows = set()
+    for a, b, h in zip(cand["id_a"], cand["id_b"], ham):
+        if h <= max_hamming:
+            ia, ib = sorted((num2id[int(a)], num2id[int(b)]))
+            rows.add((ia, ib, int(h)))
+    out = pd.DataFrame(sorted(rows), columns=["id_a", "id_b", "hamming"])
     return out.astype({"hamming": "int64"}).reset_index(drop=True)
 
 

@@ -3,10 +3,11 @@
 - Brute-force cosine top-k: numpy matmul per batch against a broadcast
   query matrix (`ray.put` once, read in every task), per-batch local
   top-k, then a tiny global groupby-topk — the exact baseline.
-- IVF variant: coarse centroids (seeded k-means on a driver-side
-  sample) broadcast to assign stage; search probes only the nearest
-  `nprobe` centroid buckets — the 10^9-row scale path (approximate;
-  recall measured against brute force in tests).
+- IVF variant: coarse centroids (seeded k-means on a STREAMED
+  bounded sample — a distributed stride filter, never a full-table
+  driver read) broadcast to the assign stage; search probes only the
+  nearest `nprobe` centroid buckets — the 10^9-row scale path
+  (approximate; recall measured against brute force in tests).
 """
 
 from __future__ import annotations
@@ -28,6 +29,41 @@ def _read_emb(sf_dir: str) -> rd.Dataset:
                            columns=["vec_id", "embedding"])
 
 
+def _query_matrix(sf_dir: str, query_ids: list[int]) -> tuple[np.ndarray, np.ndarray]:
+    """Fetch ONLY the query vectors via a row-filter pushed down to the
+    parquet scan (round 1 materialized the whole embeddings table on
+    the driver just to extract a handful of query rows)."""
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id").isin(query_ids),
+    )
+    return _to_matrix(ds.to_pandas())
+
+
+def _sample_matrix(sf_dir: str, cap: int = 4096) -> np.ndarray:
+    """Deterministic streamed fit-sample: every `stride`-th vec_id
+    survives a distributed filter, so at most ~cap rows ever reach the
+    driver regardless of corpus size. Row count comes from parquet
+    metadata (no scan)."""
+    emb = _read_emb(sf_dir)
+    n = emb.count()
+    stride = max(1, n // cap)
+
+    def take_stride(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(ids % stride == 0))
+
+    from forum_dl_ray import STAGE_RUNTIME_ENV as _renv
+
+    sample = emb.map_batches(
+        take_stride, batch_format="pyarrow", runtime_env=_renv, batch_size=8192
+    ).to_pandas()
+    return _to_matrix(sample)[1]
+
+
 def _to_matrix(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     ids = df["vec_id"].to_numpy()
     mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
@@ -41,9 +77,7 @@ def brute_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10) -> 
     Returns (query_id, vec_id, cos_r) with cos rounded to 5 decimals."""
     query_ids = query_ids if query_ids is not None else [0, 1, 2]
     emb = _read_emb(sf_dir)
-    qdf = emb.to_pandas()
-    qdf = qdf[qdf["vec_id"].isin(query_ids)]
-    q_ids, q_mat = _to_matrix(qdf)
+    q_ids, q_mat = _query_matrix(sf_dir, query_ids)
     qref = ray.put((q_ids, q_mat))
 
     def local_topk(batch: pa.Table) -> pa.Table:
@@ -88,8 +122,8 @@ def brute_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10) -> 
 
 # ------------------------------------------------------------------- IVF
 def kmeans_centroids(mat: np.ndarray, n_clusters: int, iters: int = 8, seed: int = 42) -> np.ndarray:
-    """Seeded Lloyd iterations on (a sample of) the data — runs on the
-    driver over a bounded sample; the full assignment is distributed."""
+    """Seeded Lloyd iterations over a bounded pre-streamed sample
+    matrix (see `_sample_matrix`); the full assignment is distributed."""
     rng = np.random.default_rng(seed)
     idx = rng.choice(len(mat), size=min(len(mat), 4096), replace=False)
     sample = mat[idx]
@@ -113,11 +147,8 @@ def ivf_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
     Approximate — tests measure recall vs brute_topk."""
     query_ids = query_ids if query_ids is not None else [0, 1, 2]
     emb = _read_emb(sf_dir)
-    full = emb.to_pandas()
-    ids_all, mat_all = _to_matrix(full)
-    cent = kmeans_centroids(mat_all, n_clusters)
-    qmask = np.isin(ids_all, query_ids)
-    q_ids, q_mat = ids_all[qmask], mat_all[qmask]
+    cent = kmeans_centroids(_sample_matrix(sf_dir), n_clusters)
+    q_ids, q_mat = _query_matrix(sf_dir, query_ids)
     probe = np.argsort(-(q_mat @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
     cent_ref = ray.put(cent)
     q_ref = ray.put((q_ids, q_mat, probe))
@@ -170,9 +201,7 @@ def embedding_clusters(sf_dir: str, n_clusters: int = 16) -> pd.DataFrame:
     uses for stratified sampling / domain balancing. Deterministic
     given the seed; rows-only check (iterative, not SQL-expressible)."""
     emb = _read_emb(sf_dir)
-    full = emb.to_pandas()
-    _ids_all, mat_all = _to_matrix(full)
-    cent = kmeans_centroids(mat_all, n_clusters)
+    cent = kmeans_centroids(_sample_matrix(sf_dir), n_clusters)
     cent_ref = ray.put(cent)
 
     def assign(batch: pa.Table) -> pa.Table:
