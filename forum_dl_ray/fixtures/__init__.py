@@ -8,6 +8,7 @@ from .synth import (
     steady_spec,
     steady_big_spec,
     dialects_spec,
+    edge_spec,
 )
 
 __all__ = [
@@ -20,4 +21,5 @@ __all__ = [
     "steady_spec",
     "steady_big_spec",
     "dialects_spec",
+    "edge_spec",
 ]

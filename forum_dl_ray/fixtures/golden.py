@@ -59,12 +59,12 @@ class _Sim:
 
     def fetch(self, url: str) -> dict | None:
         """First-wins record + failed-set semantics (session.py:105-115).
-        A repeat access returns the cached page without a new record;
-        a failed URL is never retried."""
+        A repeat access returns None — the subtree is walked exactly
+        once, matching the reference's AlreadyVisitedError skip
+        (session.py:105-108) and the crawler's frontier dedup. A failed
+        URL is never retried."""
         if url in self.res.seen:
-            if self.res.seen[url]:
-                return None
-            return self.pages.get(url)
+            return None
         row = self.pages.get(url)
         failed = row is None or row["status"] != 200
         self.res.seen[url] = failed
@@ -153,18 +153,25 @@ class _Sim:
         )
 
     # ---------------------------------------------------------- html walk
-    def walk_board_html(self, eng, board_url, path, title, key_prefix):
-        self.emit_board(board_url, path, title, okx(key_prefix, 0))
+    def walk_board_html(self, eng, board_url, path, title, key_prefix, row0=None):
+        """``row0``: pre-fetched first-page row (seed flow — the seed
+        fetch already recorded the URL; re-fetching would now skip)."""
         page_url = board_url
         j = 0
         subboards: list[tuple[str, str]] = []
         first = True
         while page_url:
-            row = self.fetch(page_url)
+            row = row0 if (first and row0 is not None) else self.fetch(page_url)
             if row is None:
                 break
             parsed = eng.parse_board_page(row["body"], page_url)
             if first:
+                # board Entry only after a successful page-1 fetch+parse
+                # (crawler parity, crawl/parse.py:165-176): a board whose
+                # first page fails yields no board entry on either side
+                self.emit_board(
+                    board_url, path, title or parsed["title"], okx(key_prefix, 0)
+                )
                 subboards = parsed["subboards"]
                 first = False
             for t_url, t_title in parsed["threads"]:
@@ -179,12 +186,14 @@ class _Sim:
             bid = item_id_from_url(s_url)
             self.walk_board_html(eng, s_url, path + [bid], s_title, okx(key_prefix, 2, i))
 
-    def walk_thread_html(self, eng, thread_url, path, key_t):
+    def walk_thread_html(self, eng, thread_url, path, key_t, row0=None):
         page_url = thread_url
         k = 0
         stack: list[str] = []
+        first = True
         while page_url:
-            row = self.fetch(page_url)
+            row = row0 if (first and row0 is not None) else self.fetch(page_url)
+            first = False
             if row is None:
                 break
             parsed = eng.parse_thread_page(row["body"], page_url)
@@ -236,11 +245,13 @@ def simulate(pages_rows: list[dict], seeds: list[dict]) -> GoldenResult:
                 tid = item_id_from_url(canon_seed)
                 t_path = eng.board_path_from_crumbs(row["body"], canon_seed) + [tid]
                 sim.emit_thread(canon_seed, canon_seed, t_path, t_title, okx(ok(s_idx), 0))
-                sim.walk_thread_html(eng, canon_seed, t_path, ok(s_idx))
+                sim.walk_thread_html(eng, canon_seed, t_path, ok(s_idx), row0=row)
             else:
-                # seed page IS the root board index (cached → no refetch)
+                # seed page IS the root board index (already fetched for
+                # detection; the walker reuses the row instead of a
+                # repeat fetch, which would now skip)
                 title = eng.page_title(row["body"])
-                sim.walk_board_html(eng, canon_seed, [], title, ok(s_idx))
+                sim.walk_board_html(eng, canon_seed, [], title, ok(s_idx), row0=row)
         elif engine_name == "json-stream":
             from .golden_json import walk_json_stream
 

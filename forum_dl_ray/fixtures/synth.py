@@ -54,6 +54,9 @@ class SiteSpec:
     fail_rate: float = 0.0        # fraction of thread pages >= 2 returning 500
     dialect: str = "generic"      # post markup family (M8-M13 kernels)
     seed: int = 42
+    # edge-case knobs (golden/crawler divergence locks — ADVICE round 1):
+    cross_link_board: str = ""    # bid whose page 1 also links /thread/t1
+    fail_page1_board: str = ""    # bid whose FIRST page returns 500
 
 
 @dataclass
@@ -170,12 +173,23 @@ class _SiteBuilder:
                 f'<div class="thread-item"><a href="/thread/{t["tid"]}">{t["title"]}</a></div>'
                 for t in chunk
             )
+            if page == 1 and spec.cross_link_board == bid:
+                # backward cross-link: this (deeper) board references a
+                # thread already discovered earlier in DFS order — the
+                # walker/crawler must emit the duplicate thread ENTRY but
+                # walk its posts exactly once (AlreadyVisitedError parity)
+                body += '<div class="thread-item"><a href="/thread/t1">Crosslinked t1</a></div>'
             next_url = None
             if page < n_pages:
                 body += f'<a class="next" href="/board/{bid}?page={page + 1}">Next</a>'
                 next_url = self.board_url(bid, page + 1)
             body += "</body></html>"
-            self._add_page(self.board_url(bid, page), "board_page", body.encode(), next_url=next_url)
+            status = 500 if (page == 1 and spec.fail_page1_board == bid) else 200
+            self._add_page(
+                self.board_url(bid, page), "board_page",
+                body.encode() if status == 200 else b"",
+                status=status, next_url=next_url,
+            )
 
         for t in threads:
             self._build_thread(t, my_crumbs)
@@ -368,6 +382,10 @@ def build_site(spec: SiteSpec) -> tuple[list[dict], list[dict]]:
         from .synth_json import build_json_registry_site
 
         return build_json_registry_site(spec)
+    if spec.engine == "mail-archive":
+        from .synth_mail import build_mail_archive_site
+
+        return build_mail_archive_site(spec)
     raise ValueError(f"unknown engine {spec.engine}")
 
 
@@ -393,13 +411,12 @@ def generate_fixture(spec: FixtureSpec, out_dir: str | None = None, force: bool 
         pages, images = build_site(site)
         all_pages.extend(pages)
         all_images.extend(images)
-        seed_url = (
-            f"http://{site.host}/index.php"
-            if site.engine == "html-generic"
-            else f"http://{site.host}/api/index.json"
-            if site.engine == "json-stream"
-            else f"http://{site.host}/v0/maxitem.json"
-        )
+        seed_url = {
+            "html-generic": f"http://{site.host}/index.php",
+            "json-stream": f"http://{site.host}/api/index.json",
+            "json-registry": f"http://{site.host}/v0/maxitem.json",
+            "mail-archive": f"http://{site.host}/mailman/listinfo",
+        }[site.engine]
         seeds.append(
             {
                 "seed_url": seed_url,
@@ -540,6 +557,26 @@ def mixed_spec() -> FixtureSpec:
                      image_rate=0.15, seed=70),
             SiteSpec(host="news.test", engine="json-registry", n_top_boards=1,
                      threads_per_board=4, posts_per_thread=10, seed=71),
+        ],
+    )
+
+
+def edge_spec() -> FixtureSpec:
+    """Edge-class parity locks (ADVICE round 1): a board whose FIRST
+    page fails (no board entry, subtree undiscovered on both sides) and
+    a deeper board cross-linking an earlier-DFS thread (duplicate
+    thread entry, posts walked exactly once). The cross-link points
+    backward (child board -> top board's t1) so the crawler's
+    first-offer-wins frontier resolves it deterministically to the same
+    winner as the golden DFS."""
+    return FixtureSpec(
+        name="edge",
+        sites=[
+            SiteSpec(host="edge.test", n_top_boards=2, sub_levels=1,
+                     subboards_per_board=1, threads_per_board=3,
+                     threads_per_page=2, posts_per_thread=4, posts_per_page=3,
+                     image_rate=0.2, fail_rate=0.0, seed=90,
+                     cross_link_board="b2", fail_page1_board="b4"),
         ],
     )
 

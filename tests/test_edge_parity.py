@@ -1,0 +1,72 @@
+"""Edge-class golden/crawler parity locks (round-1 ADVICE):
+
+1. a board whose FIRST page fails must produce NO board entry and no
+   subtree on either side (board entries are emitted only after a
+   successful page-1 parse);
+2. a cross-linked thread (a deeper board referencing a thread already
+   discovered earlier in DFS order) must emit a duplicate thread ENTRY
+   from the second discovery but walk its posts exactly once, under the
+   first discovery's order key (AlreadyVisitedError parity).
+"""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from forum_dl_ray.crawl import CrawlConfig, Crawler
+from forum_dl_ray.crawl.crawler import ordered_items
+from forum_dl_ray.fixtures import edge_spec, generate_fixture
+from forum_dl_ray.fixtures.golden import simulate_fixture_dir
+
+
+@pytest.fixture(scope="module")
+def fixture_dir():
+    return generate_fixture(edge_spec())
+
+
+@pytest.fixture(scope="module")
+def golden(fixture_dir):
+    return simulate_fixture_dir(fixture_dir)
+
+
+@pytest.fixture(scope="module")
+def crawl_out(ray_session, fixture_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("out") / "crawl")
+    Crawler(fixture_dir, out, CrawlConfig(num_shards=2, target_tasks=2)).run()
+    return out
+
+
+def test_edge_parity(crawl_out, golden):
+    df = ordered_items(crawl_out).to_pandas()
+    assert df["order_key"].tolist() == [e["order_key"] for e in golden.entries]
+    assert df["content"].tolist() == [e["content"] for e in golden.entries]
+    assert df["url"].tolist() == [e["url"] for e in golden.entries]
+    seen = pq.read_table(os.path.join(crawl_out, "seen.parquet")).to_pylist()
+    assert {r["url"]: r["failed"] for r in seen} == golden.seen
+
+
+def test_failing_board_page1_yields_no_board_entry(crawl_out, golden):
+    df = ordered_items(crawl_out).to_pandas()
+    boards = df[df["type"] == "board"]
+    assert not boards["url"].str.contains("/board/b4").any()
+    # but the failed URL is recorded in the seen/failed set
+    assert golden.seen["http://edge.test/board/b4/"] is True
+    # and b4's threads were never discovered
+    assert not df["url"].str.contains("t1[012]").any()
+
+
+def test_cross_linked_thread_single_walk(crawl_out, golden):
+    df = ordered_items(crawl_out).to_pandas()
+    t1_threads = df[(df["type"] == "thread") & (df["url"] == "http://edge.test/thread/t1/")]
+    assert len(t1_threads) == 2  # both discoveries emit the entry
+    assert "Crosslinked t1" in sorted(t1_threads["title"])
+    # posts of t1 appear exactly once, under the FIRST (b1) discovery key
+    first_path = df.loc[t1_threads["order_key"].idxmin(), "path"]
+    t1_posts = df[(df["type"] == "post") & (df["path"] == first_path)]
+    g_posts = [e for e in golden.entries if e["type"] == "post" and e["path"] == first_path]
+    assert len(t1_posts) == len(g_posts) == 4
+    # thread entry key = t_key + one "0" segment; posts extend t_key
+    first_key = min(t1_threads["order_key"])
+    assert all(k.startswith(first_key[:-8]) for k in t1_posts["order_key"])
