@@ -45,6 +45,13 @@ def parse_json_row(
             eng, url, body, kind, key, path, title, cursor, depth,
             out_entries, new_frontier, _entry_row, _new_frontier_entry,
         )
+    elif engine_name == "mail-archive":
+        from .parse_mail import parse_mail_row
+
+        parse_mail_row(
+            eng, url, body, kind, key, path, title, cursor, depth,
+            out_entries, new_frontier, _entry_row, _new_frontier_entry,
+        )
     else:
         raise ValueError(f"unknown json engine {engine_name!r}")
 

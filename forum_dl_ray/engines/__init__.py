@@ -12,16 +12,17 @@ parity testable.
 
 from __future__ import annotations
 
-from . import html_generic, json_registry, json_stream
+from . import html_generic, json_registry, json_stream, mail_archive
 
 # fixed detection order (first match wins, like the reference registry)
 ENGINES = {
     "html-generic": html_generic,
     "json-stream": json_stream,
     "json-registry": json_registry,
+    "mail-archive": mail_archive,
 }
 
-DETECTION_ORDER = ["json-stream", "json-registry", "html-generic"]
+DETECTION_ORDER = ["json-stream", "json-registry", "mail-archive", "html-generic"]
 
 
 def detect_engine(url: str, body: bytes) -> str | None:

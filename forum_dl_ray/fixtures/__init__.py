@@ -9,6 +9,7 @@ from .synth import (
     steady_big_spec,
     dialects_spec,
     edge_spec,
+    mail_spec,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "steady_big_spec",
     "dialects_spec",
     "edge_spec",
+    "mail_spec",
 ]

@@ -260,6 +260,10 @@ def simulate(pages_rows: list[dict], seeds: list[dict]) -> GoldenResult:
             from .golden_json import walk_json_registry
 
             walk_json_registry(sim, eng, canon_seed, row, ok(s_idx))
+        elif engine_name == "mail-archive":
+            from .golden_mail import walk_mail_archive
+
+            walk_mail_archive(sim, eng, canon_seed, row, ok(s_idx))
         # per-seed oracle hashes (test_extractors.py:88-109 semantics)
         seed_entries = sim.res.entries[entry_mark:]
         titles = [e["title"] for e in seed_entries if e["type"] in ("board", "thread")]

@@ -557,6 +557,23 @@ def mixed_spec() -> FixtureSpec:
                      image_rate=0.15, seed=70),
             SiteSpec(host="news.test", engine="json-registry", n_top_boards=1,
                      threads_per_board=4, posts_per_thread=10, seed=71),
+            SiteSpec(host="lists.test", engine="mail-archive", n_top_boards=2,
+                     threads_per_board=4, threads_per_page=2, posts_per_thread=4,
+                     seed=72),
+        ],
+    )
+
+
+def mail_spec() -> FixtureSpec:
+    """Mail-archive engine fixture (M16): two mailing lists, a 3-month
+    archive chain per list (the ST4 relative_urls stack cursor), reply
+    trees encoded as pipermail chain comments."""
+    return FixtureSpec(
+        name="mail",
+        sites=[
+            SiteSpec(host="pipermail.test", engine="mail-archive",
+                     n_top_boards=2, threads_per_board=6, threads_per_page=2,
+                     posts_per_thread=5, seed=95),
         ],
     )
 

@@ -1,9 +1,11 @@
-"""Multi-engine crawl parity: html + json-stream + json-registry.
+"""Multi-engine crawl parity: html + json-stream + json-registry +
+mail-archive.
 
 Exercises the cursor-style diversity of SURVEY.md ST4 end-to-end:
 html pagination chains, Discourse-style multi-chunk post-id streams
-(posts_per_thread > CHUNK), and HN-style story/kids trees — all in
-ONE crawl, validated against the golden sequential walkers.
+(posts_per_thread > CHUNK), HN-style story/kids trees, and the
+pipermail month-URL stack — all in ONE crawl, validated against the
+golden sequential walkers.
 """
 
 import os
@@ -64,7 +66,11 @@ def test_mixed_per_engine_coverage(crawl_out, golden):
     df = ordered_items(crawl_out).to_pandas()
     by_host = df.groupby(df["origin"].str.extract(r"http://([^/]+)/")[0])
     hosts = set(by_host.groups.keys())
-    assert hosts == {"alpha.test", "stream.test", "news.test"}
+    assert hosts == {"alpha.test", "stream.test", "news.test", "lists.test"}
+    # mail-archive: posts live on per-post pages, one fetch each
+    mail_posts = df[(df["type"] == "post") & df["origin"].str.contains("lists.test")]
+    assert len(mail_posts) == golden.hashes["lists.test"]["post_count"] > 0
+    assert mail_posts["url"].is_unique
     # multi-chunk stream thread: 25 posts > CHUNK=20 all present
     stream_posts = df[(df["type"] == "post") & df["origin"].str.contains("stream.test")]
     assert len(stream_posts) == golden.hashes["stream.test"]["post_count"]
