@@ -31,6 +31,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--author-as-addr-spec", action="store_true")
     p.add_argument("--get-urls", action="store_true",
                    help="print URLs instead of downloading payloads")
+    # M23 item-kind routing (reference options.py:135-167)
+    p.add_argument("--boards", action=argparse.BooleanOptionalAction, default=True,
+                   help="write board objects (--no-boards to negate)")
+    p.add_argument("--threads", action=argparse.BooleanOptionalAction, default=True,
+                   help="write thread objects (--no-threads to negate)")
+    p.add_argument("--posts", action=argparse.BooleanOptionalAction, default=True,
+                   help="write post objects (--no-posts to negate)")
+    p.add_argument("--files", action=argparse.BooleanOptionalAction, default=True,
+                   help="write embedded files (--no-files to negate)")
+    p.add_argument("--outside-files", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="write files outside post content (default: False)")
     p.add_argument("--host-rate", action="append", default=[],
                    metavar="HOST=RATE", help="politeness tokens/sec per host")
     p.add_argument("--list-extractors", action="store_true")
@@ -49,7 +61,8 @@ def main(argv: list[str] | None = None) -> int:
 
     import ray
 
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
     try:
         host_rates = {}
@@ -68,12 +81,18 @@ def main(argv: list[str] | None = None) -> int:
                 get_urls=args.get_urls,
                 host_rates=host_rates,
                 num_shards=args.num_shards,
+                write_boards=args.boards,
+                write_threads=args.threads,
+                write_posts=args.posts,
+                write_files=args.files,
+                write_outside_files=args.outside_files,
             ),
         )
         print(json.dumps(stats, indent=1))
         return 0
     finally:
-        ray.shutdown()
+        if owns_session:  # never tear down a caller-owned session
+            ray.shutdown()
 
 
 if __name__ == "__main__":

@@ -38,6 +38,42 @@ class DownloadOptions:
     robots: dict = field(default_factory=dict)
     num_shards: int = 4
     download_time: str = "2026-01-01T00:00:00+00:00"
+    # M23 item-kind routing (reference writers/common.py:101-105,135-145
+    # + options.py:135-167): --boards/--threads/--posts/--files default
+    # True, --outside-files (files with an empty board path) default False
+    write_boards: bool = True
+    write_threads: bool = True
+    write_posts: bool = True
+    write_files: bool = True
+    write_outside_files: bool = False
+
+
+def filter_entry_kinds(ds, opts: "DownloadOptions"):
+    """Sink-side item-kind routing: drop entry types the options
+    exclude; `file` rows with an empty board path ("outside" files,
+    writers/common.py:144-145) additionally require
+    ``write_outside_files``. Lineage rows always pass (they are crawl
+    metadata, filtered separately by sinks that don't want them)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from . import STAGE_RUNTIME_ENV as _renv
+
+    allowed = [k for k, on in (
+        ("board", opts.write_boards), ("thread", opts.write_threads),
+        ("post", opts.write_posts), ("file", opts.write_files),
+    ) if on] + ["lineage"]
+
+    def f(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["type"], value_set=pa.array(allowed))
+        if opts.write_files and not opts.write_outside_files:
+            outside = pc.and_(
+                pc.equal(batch["type"], "file"), pc.equal(batch["path"], "[]")
+            )
+            mask = pc.and_(mask, pc.invert(outside))
+        return batch.filter(mask)
+
+    return ds.map_batches(f, batch_format="pyarrow", runtime_env=_renv)
 
 
 def list_extractors() -> list[str]:
@@ -111,7 +147,9 @@ def download(
 
         d = os.path.join(out_dir, "entries_jsonl")
         write_entries_jsonl(
-            entries_dataset(crawl_dir).filter(expr="type != 'lineage'"),
+            filter_entry_kinds(
+                entries_dataset(crawl_dir).filter(expr="type != 'lineage'"), opts
+            ),
             d, extractor="+".join(sorted({s["engine"] for s in seeds})),
             download_time=opts.download_time,
         )
@@ -121,7 +159,7 @@ def download(
 
         d = os.path.join(out_dir, output_format)
         folders = write_mail(
-            entries_dataset(crawl_dir),
+            filter_entry_kinds(entries_dataset(crawl_dir), opts),
             d,
             fmt=output_format,
             opts=MailOptions(

@@ -32,7 +32,7 @@ from ..engines import ENGINES, detect_engine
 from ..engines.replytree import advance_stack
 from ..fixtures.golden import image_id_from_url, item_id_from_url
 from ..schemas import ENTRY, order_key_extend as okx, path_to_json
-from ..urlnorm import host_of, url_hash64
+from ..urlnorm import DATA_URL_RE, host_of, url_hash64
 
 _ENTRY_NAMES = [f.name for f in ENTRY]
 
@@ -227,6 +227,23 @@ def _parse_html_row(
                 )
             )
             for f_idx, (img_url, caption) in enumerate(p["images"]):
+                dm = DATA_URL_RE.match(img_url)
+                if dm:
+                    # M22 inline file: decode the payload from the URL,
+                    # emit the File row directly — no fetch, no frontier
+                    # offer (writers/common.py:161-187)
+                    from base64 import b64decode
+
+                    out_entries.append(
+                        _entry_row(
+                            type="file", path=path_json,
+                            subpath=path_to_json(subpath + [str(f_idx)]),
+                            url=img_url, origin=url, content_type=dm.group(1),
+                            content_bytes=b64decode(dm.group(2)),
+                            order_key=okx(p_key, 1, f_idx),
+                        )
+                    )
+                    continue
                 _image_id, ext = image_id_from_url(img_url)
                 out_entries.append(
                     _entry_row(

@@ -119,7 +119,12 @@ def parse_thread_page(body: bytes, page_url: str) -> dict:
     extract = DIALECT_KERNELS.get(dialect, _posts_generic)
     posts = []
     for pid, author, time_iso, indent, content in extract(text):
-        images = [(canon(src, page_url), alt) for src, alt in IMG_RE.findall(content)]
+        # data: URLs pass through raw — they carry their own payload and
+        # must not be canonicalized or fetched (writers/common.py:161-187)
+        images = [
+            (src if src.startswith("data:") else canon(src, page_url), alt)
+            for src, alt in IMG_RE.findall(content)
+        ]
         posts.append(
             {
                 "pid": pid,

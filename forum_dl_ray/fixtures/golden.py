@@ -30,7 +30,7 @@ from ..engines.replytree import advance_stack
 from ..schemas import order_key as ok
 from ..schemas import order_key_extend as okx
 from ..schemas import path_to_json
-from ..urlnorm import normalize_url
+from ..urlnorm import DATA_URL_RE, normalize_url
 
 
 @dataclass
@@ -132,7 +132,8 @@ class _Sim:
             }
         )
 
-    def emit_file(self, url, origin, path, subpath, content_type, key):
+    def emit_file(self, url, origin, path, subpath, content_type, key,
+                  content_bytes=None):
         self.res.entries.append(
             {
                 "type": "file",
@@ -145,7 +146,7 @@ class _Sim:
                 "creation_time": None,
                 "content": None,
                 "content_type": content_type,
-                "content_bytes": None,
+                "content_bytes": content_bytes,
                 "data": "{}",
                 "order_key": key,
                 "origin_seq": None,
@@ -206,6 +207,16 @@ class _Sim:
                     p["content"], okx(p_key, 0),
                 )
                 for f_idx, (img_url, _caption) in enumerate(p["images"]):
+                    dm = DATA_URL_RE.match(img_url)
+                    if dm:
+                        from base64 import b64decode
+
+                        self.emit_file(
+                            img_url, page_url, path, subpath + [str(f_idx)],
+                            dm.group(1), okx(p_key, 1, f_idx),
+                            content_bytes=b64decode(dm.group(2)),
+                        )
+                        continue
                     asset = self.fetch(img_url)
                     image_id, ext = image_id_from_url(img_url)
                     self.emit_file(

@@ -57,6 +57,7 @@ class SiteSpec:
     # edge-case knobs (golden/crawler divergence locks — ADVICE round 1):
     cross_link_board: str = ""    # bid whose page 1 also links /thread/t1
     fail_page1_board: str = ""    # bid whose FIRST page returns 500
+    data_url_rate: float = 0.0    # fraction of posts embedding a data: image (M22)
 
 
 @dataclass
@@ -215,6 +216,16 @@ class _SiteBuilder:
                 h = int(self.rng.integers(24, 64))
                 self._add_image(image_id, fmt, w, h, caption)
                 content += f'<img src="/img/{image_id}.{fmt}" alt="{caption}">'
+            if self.rng.random() < spec.data_url_rate:
+                # M22 inline file: payload embedded as a base64 data: URL
+                # (no page-store row — the URL IS the content)
+                import base64 as _b64
+
+                self.image_counter += 1
+                did = f"{self.host_tag}-dd{self.image_counter:05d}"
+                payload = encode_image(synth_pixels(did, 8, 8), "png")
+                b64s = _b64.b64encode(payload).decode()
+                content += f'<img src="data:image/png;base64,{b64s}" alt="inline {did}">'
             author = f"user{int(self.rng.integers(1, 20))}@{self.host_tag}"
             posts.append(
                 {"pid": pid, "author": author, "time": t_iso, "indent": indent, "content": content}
@@ -593,7 +604,8 @@ def edge_spec() -> FixtureSpec:
                      subboards_per_board=1, threads_per_board=3,
                      threads_per_page=2, posts_per_thread=4, posts_per_page=3,
                      image_rate=0.2, fail_rate=0.0, seed=90,
-                     cross_link_board="b2", fail_page1_board="b4"),
+                     cross_link_board="b2", fail_page1_board="b4",
+                     data_url_rate=0.3),
         ],
     )
 

@@ -25,6 +25,12 @@ import pyarrow as pa
 
 _DEFAULT_REMOVE_SUFFIXES = ("index.php",)
 
+# inline-payload URL (M22): content decodes from the URL itself, no
+# fetch — reference writers/common.py:161-162 `data:(.+/.+);base64,`
+import re as _re
+
+DATA_URL_RE = _re.compile(r"data:(.+/.+);base64,(.*)", _re.S)
+
 
 def normalize_url(
     url: str,

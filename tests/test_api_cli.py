@@ -129,3 +129,59 @@ def test_mid_chain_board_page_seed(fixture_dir, tmp_path):
     assert df["url"].tolist() == [e["url"] for e in golden.entries]
     # only the tail of the board's threads was crawled
     assert all("beta.test" in u for u in df["url"])
+
+
+def test_item_kind_routing_flags(fixture_dir, tmp_path):
+    """M23: --boards/--threads/--posts/--files routing (reference
+    options.py:135-167 + writers/common.py:101-105,135-145)."""
+    import json as _json
+
+    import glob
+
+    def jsonl_types(out_dir):
+        lines = []
+        for p in sorted(glob.glob(os.path.join(out_dir, "part-*.jsonl"))):
+            lines += open(p).read().splitlines()
+        return [_json.loads(ln)["type"] for ln in lines]
+
+    base = api.download(["http://alpha.test/"], fixture_dir,
+                        str(tmp_path / "all"), "jsonl")
+    all_types = jsonl_types(base["sink"]["path"])
+    assert {"board", "thread", "post"} <= set(all_types)
+
+    no_posts = api.download(
+        ["http://alpha.test/"], fixture_dir, str(tmp_path / "np"), "jsonl",
+        options=api.DownloadOptions(write_posts=False, write_files=False),
+    )
+    kinds = jsonl_types(no_posts["sink"]["path"])
+    assert "post" not in kinds and "file" not in kinds
+    assert {"board", "thread"} <= set(kinds)
+    # boards/threads counts unchanged by dropping posts/files
+    assert kinds.count("board") == all_types.count("board")
+    assert kinds.count("thread") == all_types.count("thread")
+
+    only_posts = api.download(
+        ["http://alpha.test/"], fixture_dir, str(tmp_path / "op"), "jsonl",
+        options=api.DownloadOptions(
+            write_boards=False, write_threads=False, write_files=False),
+    )
+    kinds = jsonl_types(only_posts["sink"]["path"])
+    assert set(kinds) == {"post"}
+    assert kinds.count("post") == all_types.count("post")
+
+
+def test_item_kind_flags_cli(fixture_dir, tmp_path):
+    from forum_dl_ray.__main__ import main
+
+    out = str(tmp_path / "cli_np")
+    rc = main(["http://alpha.test/", "--pages-source", fixture_dir,
+               "--out", out, "-o", "jsonl", "--no-posts", "--no-files"])
+    assert rc == 0
+    import glob
+    import json as _json
+
+    lines = []
+    for p in sorted(glob.glob(os.path.join(out, "entries_jsonl", "part-*.jsonl"))):
+        lines += open(p).read().splitlines()
+    types = {_json.loads(ln)["type"] for ln in lines}
+    assert "post" not in types and "file" not in types and "board" in types

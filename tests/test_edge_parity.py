@@ -70,3 +70,31 @@ def test_cross_linked_thread_single_walk(crawl_out, golden):
     # thread entry key = t_key + one "0" segment; posts extend t_key
     first_key = min(t1_threads["order_key"])
     assert all(k.startswith(first_key[:-8]) for k in t1_posts["order_key"])
+
+
+def test_data_url_inline_files(crawl_out, golden):
+    """M22: data: image embeds become File rows with decoded payload
+    bytes and the data-URL content type — no fetch, no seen-set record,
+    byte-identical between crawler and golden."""
+    from base64 import b64decode
+
+    import ray.data as rd
+
+    ents = rd.read_parquet(os.path.join(crawl_out, "entries")).filter(
+        expr="type == 'file'"
+    ).to_pandas()
+    inline = ents[ents["url"].str.startswith("data:")]
+    g_inline = [e for e in golden.entries
+                if e["type"] == "file" and e["url"].startswith("data:")]
+    assert len(inline) == len(g_inline) > 0
+    assert (inline["content_type"] == "image/png").all()
+    by_key = dict(zip(inline["order_key"], inline["content_bytes"]))
+    for e in g_inline:
+        got = by_key[e["order_key"]]
+        assert bytes(got) == e["content_bytes"]
+        # payload round-trips through the data URL itself
+        assert b64decode(e["url"].split(",", 1)[1]) == e["content_bytes"]
+    # data: URLs never enter the seen set (no fetch happened)
+    assert not any(u.startswith("data:") for u in golden.seen)
+    seen = pq.read_table(os.path.join(crawl_out, "seen.parquet")).to_pylist()
+    assert not any(r["url"].startswith("data:") for r in seen)
