@@ -201,6 +201,12 @@ def _parse_html_row(
                         path + [bid], s_title, {"j": 0, "page": 1},
                     )
                 )
+        # M7 page-level embeds: board pages yield every embed object,
+        # path=[] (outside files; no anti-join on board pages —
+        # common.py:421)
+        _emit_page_files(
+            eng, body, url, key, j, 3, set(), out_entries, _entry_row
+        )
         if parsed["next_url"]:
             new_frontier.append(
                 _new_frontier_entry(
@@ -260,6 +266,12 @@ def _parse_html_row(
                     )
                 )
             k += 1
+        # J1 content-file anti-join: page-level embeds minus the URLs
+        # already emitted as post-content files (common.py:439-459)
+        content_urls = {u for p in parsed["posts"] for (u, _c) in p["images"]}
+        _emit_page_files(
+            eng, body, url, key, k, 2, content_urls, out_entries, _entry_row
+        )
         if parsed["next_url"]:
             new_frontier.append(
                 _new_frontier_entry(
@@ -269,3 +281,33 @@ def _parse_html_row(
             )
     else:
         raise ValueError(f"html-generic cannot parse kind={kind!r}")
+
+
+def _emit_page_files(
+    eng, body, page_url, key, n_items, tail_seg, content_urls, out_entries, _entry_row
+) -> None:
+    """Emit a page's outside-file rows (M7, path=[]) with keys that sort
+    directly after the page's last item subtree and before the next
+    page's items: okx(key, 1, n_items-1, tail_seg, f) — or before the
+    first item when the page had none. Inline svg carries its content;
+    URL embeds carry only the URL (the writer decides whether outside
+    files are fetched, writers/common.py:135-189)."""
+    page_files = [
+        em for em in eng.page_embeds(body, page_url)
+        if em["url"] is None or em["url"] not in content_urls
+    ]
+    for f_idx, em in enumerate(page_files):
+        fk = (
+            okx(key, 1, n_items - 1, tail_seg, f_idx)
+            if n_items > 0
+            else okx(key, 0, tail_seg - 1, f_idx)
+        )
+        out_entries.append(
+            _entry_row(
+                type="file", path=path_to_json([]),
+                subpath=path_to_json([em["url"]] if em["url"] else []),
+                url=em["url"] or page_url, origin=page_url,
+                content_type=em["content_type"],
+                content_bytes=em["content_bytes"], order_key=fk,
+            )
+        )

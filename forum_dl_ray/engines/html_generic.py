@@ -263,6 +263,49 @@ DIALECT_KERNELS = {
 }
 
 
+# ------------------------------------------------- page-level embeds (M7)
+# one alternation regex = document order, mirroring the reference's single
+# soup.select('link[rel=stylesheet], embed, audio, img, object, svg, video')
+# pass (common.py:493-495). `video` matches the reference selector but has
+# no extraction branch there — mirrored here by omission.
+PAGE_EMBED_RE = re.compile(
+    r'<link rel="stylesheet" href="(?P<css>[^"]+)">'
+    r'|<embed src="(?P<emb>[^"]+)">'
+    r'|<audio>\s*(?P<audio>(?:<source src="[^"]+">\s*)+)</audio>'
+    r'|<object data="(?P<obj>[^"]+)"></object>'
+    r'|<svg>(?P<svg>.*?)</svg>'
+    r'|<img src="(?P<img>[^"]+)" alt="[^"]*">',
+    re.S,
+)
+AUDIO_SOURCE_RE = re.compile(r'<source src="([^"]+)">')
+
+
+def page_embeds(body: bytes, page_url: str) -> list[dict]:
+    """All embed objects of a page in document order (common.py:481-569):
+    css links, embeds, audio sources, imgs, objects, and inline svg
+    (which carries its own content instead of a URL). The caller
+    anti-joins post-content URLs out of this set (J1,
+    common.py:457-459) — img hits here deliberately include the
+    post-content ones so the anti-join is real."""
+    text = body.decode("utf-8", "replace")
+    out: list[dict] = []
+    for m in PAGE_EMBED_RE.finditer(text):
+        if m.group("svg") is not None:
+            out.append(
+                {"url": None, "content_type": "image/svg+xml",
+                 "content_bytes": m.group("svg").encode()}
+            )
+        elif m.group("audio") is not None:
+            for src in AUDIO_SOURCE_RE.findall(m.group("audio")):
+                out.append({"url": canon(src, page_url), "content_type": None,
+                            "content_bytes": None})
+        else:
+            src = m.group("css") or m.group("emb") or m.group("obj") or m.group("img")
+            u = src if src.startswith("data:") else canon(src, page_url)
+            out.append({"url": u, "content_type": None, "content_bytes": None})
+    return out
+
+
 def parse_crumbs(body: bytes, page_url: str) -> list[tuple[str, str]]:
     """Breadcrumb (url, title) list — the lookup key stream for the
     broadcast board-tree join J2 (common.py:273-289)."""

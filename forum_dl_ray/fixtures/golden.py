@@ -153,6 +153,26 @@ class _Sim:
             }
         )
 
+    def emit_page_files(self, eng, body, page_url, key, n_items, tail_seg,
+                        content_urls):
+        """Golden mirror of crawl/parse.py _emit_page_files (M7/J1):
+        same anti-join, same key scheme."""
+        page_files = [
+            em for em in eng.page_embeds(body, page_url)
+            if em["url"] is None or em["url"] not in content_urls
+        ]
+        for f_idx, em in enumerate(page_files):
+            fk = (
+                okx(key, 1, n_items - 1, tail_seg, f_idx)
+                if n_items > 0
+                else okx(key, 0, tail_seg - 1, f_idx)
+            )
+            self.emit_file(
+                em["url"] or page_url, page_url, [],
+                [em["url"]] if em["url"] else [],
+                em["content_type"], fk, content_bytes=em["content_bytes"],
+            )
+
     # ---------------------------------------------------------- html walk
     def walk_board_html(self, eng, board_url, path, title, key_prefix, row0=None):
         """``row0``: pre-fetched first-page row (seed flow — the seed
@@ -182,6 +202,7 @@ class _Sim:
                 self.emit_thread(t_url, page_url, t_path, t_title, okx(t_key, 0))
                 self.walk_thread_html(eng, t_url, t_path, t_key)
                 j += 1
+            self.emit_page_files(eng, row["body"], page_url, key_prefix, j, 3, set())
             page_url = parsed["next_url"]
         for i, (s_url, s_title) in enumerate(subboards):
             bid = item_id_from_url(s_url)
@@ -234,6 +255,8 @@ class _Sim:
                             }
                         )
                 k += 1
+            content_urls = {u for p in parsed["posts"] for (u, _c) in p["images"]}
+            self.emit_page_files(eng, row["body"], page_url, key_t, k, 2, content_urls)
             page_url = parsed["next_url"]
 
 

@@ -58,6 +58,7 @@ class SiteSpec:
     cross_link_board: str = ""    # bid whose page 1 also links /thread/t1
     fail_page1_board: str = ""    # bid whose FIRST page returns 500
     data_url_rate: float = 0.0    # fraction of posts embedding a data: image (M22)
+    page_embed_rate: float = 0.0  # fraction of pages carrying page-level embeds (M7)
 
 
 @dataclass
@@ -165,6 +166,12 @@ class _SiteBuilder:
         for page in range(1, n_pages + 1):
             chunk = threads[(page - 1) * spec.threads_per_page : page * spec.threads_per_page]
             body = self._head(title) + self._crumbs(my_crumbs)
+            if self.rng.random() < spec.page_embed_rate:
+                # M7 page-level embeds (outside files): css link + inline svg
+                body += (
+                    f'<link rel="stylesheet" href="/static/{self.host_tag}.css">'
+                    f'<svg><circle r="{page}"/></svg>'
+                )
             if page == 1:
                 body += "".join(
                     f'<div class="board-item"><a href="/board/{c["bid"]}">{c["title"]}</a></div>'
@@ -238,6 +245,8 @@ class _SiteBuilder:
         for page in range(1, n_pages + 1):
             chunk = posts[(page - 1) * spec.posts_per_page : page * spec.posts_per_page]
             body = self._head(title) + self._crumbs(crumbs + [(f"/thread/{tid}", title)])
+            if self.rng.random() < spec.page_embed_rate:
+                body += f'<audio><source src="/media/{tid}.ogg"></audio>'
             if spec.dialect != "generic":
                 body += f'<meta name="dialect" content="{spec.dialect}">'
             for p in chunk:
@@ -605,7 +614,7 @@ def edge_spec() -> FixtureSpec:
                      threads_per_page=2, posts_per_thread=4, posts_per_page=3,
                      image_rate=0.2, fail_rate=0.0, seed=90,
                      cross_link_board="b2", fail_page1_board="b4",
-                     data_url_rate=0.3),
+                     data_url_rate=0.3, page_embed_rate=0.5),
         ],
     )
 

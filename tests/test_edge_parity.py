@@ -98,3 +98,35 @@ def test_data_url_inline_files(crawl_out, golden):
     assert not any(u.startswith("data:") for u in golden.seen)
     seen = pq.read_table(os.path.join(crawl_out, "seen.parquet")).to_pylist()
     assert not any(r["url"].startswith("data:") for r in seen)
+
+
+def test_page_level_embeds_outside_files(crawl_out, golden):
+    """M7/J1: page-level embeds (css link, inline svg, audio source)
+    become outside-file rows (path=[]); post-content imgs are
+    anti-joined out of the page-level set; inline svg carries content
+    bytes; none of them is fetched."""
+    import ray.data as rd
+
+    ents = rd.read_parquet(os.path.join(crawl_out, "entries")).filter(
+        expr="type == 'file'"
+    ).to_pandas()
+    outside = ents[ents["path"] == "[]"]
+    g_outside = [e for e in golden.entries
+                 if e["type"] == "file" and e["path"] == "[]"]
+    assert len(outside) == len(g_outside) > 0
+    got = sorted(zip(outside["order_key"], outside["url"]))
+    want = sorted((e["order_key"], e["url"]) for e in g_outside)
+    assert got == want
+    # kinds present: stylesheet + svg (board pages), audio (thread pages)
+    urls = set(outside["url"])
+    assert any(u.endswith(".css/") or ".css" in u for u in urls)
+    assert any(".ogg" in u for u in urls)
+    svg = outside[outside["content_type"] == "image/svg+xml"]
+    assert len(svg) > 0 and all(b"circle" in bytes(b) for b in svg["content_bytes"])
+    # J1: no post-content image URL leaked into the outside set
+    content_files = ents[ents["path"] != "[]"]
+    assert not (set(outside["url"]) & set(content_files["url"]))
+    # outside files are never fetched
+    seen = pq.read_table(os.path.join(crawl_out, "seen.parquet")).to_pylist()
+    seen_urls = {r["url"] for r in seen}
+    assert not any(".css" in u or ".ogg" in u for u in seen_urls)
