@@ -85,17 +85,32 @@ def list_output_formats() -> list[str]:
     return list(OUTPUT_FORMATS)
 
 
+_DETECT_CACHE = None
+
+
 def detect(url: str, pages_source: str) -> str | None:
     """Classify a seed URL by probing the page store with the engine
-    registry (driver-side: detection is a handful of fetches)."""
-    from .crawl.fetch import get_store
+    registry (driver-side: detection is a handful of fetches). Probe
+    responses go through the bounded ResponseCache (S3/ST2 — the
+    reference fetches detection pages with should_cache=True,
+    session.py:105-111), so repeated detect/download calls on the same
+    seed don't re-read the store."""
+    from .crawl.fetch import ResponseCache, get_store
 
-    store = get_store(os.path.join(pages_source, "pages.parquet"))
+    global _DETECT_CACHE
+    if _DETECT_CACHE is None:
+        _DETECT_CACHE = ResponseCache(capacity=256)
     url = normalize_url(url, keep_queries=("page",))
+    cached = _DETECT_CACHE.get(url, should_cache=True)
+    if cached is not None:
+        return detect_engine(url, cached["body"]) if cached["found"] else None
+    store = get_store(os.path.join(pages_source, "pages.parquet"))
     rows = store.lookup([url])
     if rows[0] < 0:
+        _DETECT_CACHE.put(url, {"found": False, "body": b""})
         return None
     body = store.table["body"][rows[0]].as_py()
+    _DETECT_CACHE.put(url, {"found": True, "body": body})
     return detect_engine(url, body)
 
 

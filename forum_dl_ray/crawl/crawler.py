@@ -79,6 +79,8 @@ class CrawlConfig:
     capacity_per_shard: int = 1_000_000
     fetch_assets: bool = True      # False = --get-urls style dry run:
                                    # discover + record asset URLs, skip download
+    restrict_to_seeds: bool = True  # M2 same-site scope: drop offers whose
+                                    # URL is not under a seed site
 
 
 class Crawler:
@@ -138,6 +140,13 @@ class Crawler:
             frontier.set_host_policy(host, rate)
         for host, dis in cfg.robots.items():
             frontier.set_robots(host, dis)
+        if cfg.restrict_to_seeds:
+            # M2 same-site scope: every offer must live under a seed site
+            bases = sorted({
+                f"http://{host_of(normalize_url(s['seed_url']))}/"
+                for s in self.seeds
+            })
+            frontier.set_allowed_bases(bases)
 
         wave = 0
         if resume:

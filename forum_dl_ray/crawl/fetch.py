@@ -111,6 +111,46 @@ def _transient_attempts(url: str, flaky_rate: float, retries: int) -> int:
     return 1 + (h // 1000) % max(1, retries)
 
 
+class ResponseCache:
+    """Bounded per-process LRU over fetch results (S3/ST2 — reference
+    session.py:50-53 ``_cache`` with the should_cache semantics of
+    :105-111,145: a ``should_cache`` hit keeps the entry hot, a plain
+    hit consumes it one-shot). Within the wave crawl every URL is
+    fetched exactly once (frontier dedup), so the cache's users are the
+    detection/classification probes (api.detect) and any real HTTP
+    fetcher dropped in behind the seam, which re-reads detection and
+    board-tree pages."""
+
+    def __init__(self, capacity: int = 256):
+        from collections import OrderedDict
+
+        self.capacity = int(capacity)
+        self._od: "OrderedDict[str, dict]" = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, url: str, should_cache: bool = True) -> dict | None:
+        row = self._od.get(url)
+        if row is None:
+            self.misses += 1
+            return None
+        self.hits += 1
+        if should_cache:
+            self._od.move_to_end(url)
+        else:  # one-shot reuse then evict (session.py:108-109)
+            del self._od[url]
+        return row
+
+    def put(self, url: str, row: dict) -> None:
+        self._od[url] = row
+        self._od.move_to_end(url)
+        while len(self._od) > self.capacity:
+            self._od.popitem(last=False)
+
+    def __len__(self) -> int:
+        return len(self._od)
+
+
 def fetch_batch(
     batch: pa.Table,
     *,

@@ -165,6 +165,11 @@ class Frontier:
         s = url_hash64(host) % self.num_shards
         ray.get(self.shards[s].set_robots.remote(host, disallow))
 
+    def set_allowed_bases(self, bases: list[str] | None) -> None:
+        """Same-site crawl scope (M2): offers not under any base URL are
+        dropped at enqueue (every shard owns some hosts, so all get it)."""
+        ray.get([s.set_allowed_bases.remote(bases) for s in self.shards])
+
     # ----------------------------------------------------- oracle/checkpoint
     def seen_table(self) -> pa.Table:
         """Exact seen set (url_hash, url, failed) across shards — the

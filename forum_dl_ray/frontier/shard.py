@@ -73,6 +73,10 @@ class ShardState:
         self.buckets: dict[str, list[float]] = {}
         self.robots: dict[str, list[str]] = {}  # host -> disallowed path prefixes
         self.n_robots_denied = 0
+        # same-site scope (M2): None = unrestricted; else offers whose
+        # URL is not under any base are dropped at enqueue like robots
+        self.allowed_bases: list[str] | None = None
+        self.n_offsite_denied = 0
         self.stats_offered = 0
         self.stats_fresh = 0
         self.stats_polled = 0
@@ -143,6 +147,27 @@ class ShardState:
     def set_robots(self, host: str, disallow: list[str]) -> None:
         self.robots[host] = list(disallow)
 
+    def set_allowed_bases(self, bases: list[str] | None) -> None:
+        self.allowed_bases = list(bases) if bases is not None else None
+        # fast path: a site-root base (path "/") reduces to a host check
+        self._allowed_hosts: set[str] | None = None
+        if bases is not None:
+            from ..urlnorm import host_of
+
+            roots = {host_of(b) for b in bases
+                     if b.endswith("/") and b.count("/") == 3}
+            if len(roots) == len(bases):
+                self._allowed_hosts = roots
+
+    def _same_site_allows(self, url: str) -> bool:
+        if self.allowed_bases is None:
+            return True
+        from ..urlnorm import host_of, is_same_site
+
+        if self._allowed_hosts is not None:
+            return host_of(url) in self._allowed_hosts
+        return any(is_same_site(url, b) for b in self.allowed_bases)
+
     def _robots_allows(self, host: str, url: str) -> bool:
         rules = self.robots.get(host)
         if not rules:
@@ -156,15 +181,24 @@ class ShardState:
             entries = _entries_to_table(entries)
         if entries.num_rows == 0:
             return 0
-        # robots filter: vectorized fast path when no host in the batch
-        # has rules (the common case)
-        if self.robots:
+        # robots + same-site filters: fast path when neither is
+        # configured (the common case is robots empty, scope = seeds)
+        if self.robots or self.allowed_bases is not None:
             hosts = entries["host"].to_pylist()
             urls = entries["url"].to_pylist()
-            keep = [self._robots_allows(h, u) for h, u in zip(hosts, urls)]
+            keep = [
+                self._robots_allows(h, u) and self._same_site_allows(u)
+                for h, u in zip(hosts, urls)
+            ]
             denied = len(keep) - sum(keep)
             if denied:
-                self.n_robots_denied += denied
+                # split the count for stats (recompute only on the miss path)
+                off = sum(
+                    1 for h, u in zip(hosts, urls)
+                    if self._robots_allows(h, u) and not self._same_site_allows(u)
+                )
+                self.n_offsite_denied += off
+                self.n_robots_denied += denied - off
                 entries = entries.filter(pa.array(keep, pa.bool_()))
                 if entries.num_rows == 0:
                     return 0
@@ -343,6 +377,7 @@ class ShardState:
             "fresh": self.stats_fresh,
             "polled": self.stats_polled,
             "robots_denied": self.n_robots_denied,
+            "offsite_denied": self.n_offsite_denied,
         }
 
 
@@ -381,6 +416,9 @@ class FrontierShard:
 
     def set_robots(self, host: str, disallow: list[str]) -> None:
         self.state.set_robots(host, disallow)
+
+    def set_allowed_bases(self, bases: list[str] | None) -> None:
+        self.state.set_allowed_bases(bases)
 
     def snapshot(self) -> dict[str, Any]:
         return self.state.snapshot()

@@ -108,6 +108,20 @@ def get_relative_url(url: str, base_url: str) -> str:
     return str(path.relative_to(base_path))
 
 
+def is_same_site(url: str, base_url: str) -> bool:
+    """Crawl-scope predicate (M2): same host AND path under the base's
+    path. The reference expresses this as `get_relative_url` raising
+    ValueError (common.py:22-32); this wraps that raise into the filter
+    predicate the frontier applies to offers."""
+    if host_of(url) != host_of(base_url):
+        return False
+    try:
+        get_relative_url(url, base_url)
+        return True
+    except ValueError:
+        return False
+
+
 def host_of(url: str) -> str:
     """netloc of a URL (string fast path; runs per frontier offer)."""
     i = url.find("://")

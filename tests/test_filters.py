@@ -81,3 +81,58 @@ def test_shard_seen_without_exact_sideset():
     h2 = h1 + 1
     fresh2 = s.seen_offer(h2, urls)
     assert fresh2.sum() >= n * 0.99
+
+
+def test_response_cache_lru_semantics():
+    """S3/ST2: bounded LRU with the reference's should_cache semantics
+    (session.py:105-111,145) — should_cache hits keep entries hot,
+    plain hits consume one-shot, capacity evicts oldest."""
+    from forum_dl_ray.crawl.fetch import ResponseCache
+
+    c = ResponseCache(capacity=3)
+    for i in range(3):
+        c.put(f"u{i}", {"i": i})
+    assert len(c) == 3
+    # should_cache hit refreshes recency
+    assert c.get("u0")["i"] == 0
+    c.put("u3", {"i": 3})  # evicts u1 (oldest), not the refreshed u0
+    assert c.get("u0") is not None
+    assert c.get("u1") is None
+    assert c.hits == 2 and c.misses == 1
+    # one-shot (should_cache=False) hit consumes the entry
+    assert c.get("u2", should_cache=False)["i"] == 2
+    assert c.get("u2") is None
+
+
+def test_same_site_filter_predicate():
+    """M2: is_same_site = same host + path under base (ValueError raise
+    of get_relative_url folded into a predicate, common.py:22-32)."""
+    from forum_dl_ray.urlnorm import is_same_site
+
+    assert is_same_site("http://a.test/board/b1/", "http://a.test/")
+    assert not is_same_site("http://b.test/board/b1/", "http://a.test/")
+    assert is_same_site("http://a.test/forum/t/1/", "http://a.test/forum/")
+    assert not is_same_site("http://a.test/other/t/1/", "http://a.test/forum/")
+
+
+def test_frontier_same_site_scope(ray_session):
+    """Offsite offers are dropped at enqueue (counted), never polled,
+    but still enter the seen set — mirroring the robots path."""
+    from forum_dl_ray.frontier import Frontier, FrontierConfig
+    from forum_dl_ray.urlnorm import url_hash64
+
+    f = Frontier.create(FrontierConfig(num_shards=2))
+    f.set_allowed_bases(["http://in.test/"])
+
+    def entry(url, seq):
+        return {"url": url, "url_hash": url_hash64(url), "host": url.split("/")[2],
+                "engine": "html-generic", "kind": "board_page", "depth": 1,
+                "seq": seq, "order_key": "00000000", "path": "[]", "title": "",
+                "cursor": "{}"}
+
+    f.offer([entry("http://in.test/board/b1/", 1),
+             entry("http://out.test/board/x/", 2)])
+    t = f.poll(now=0.0, max_total=64)
+    assert t["url"].to_pylist() == ["http://in.test/board/b1/"]
+    assert f.counters()["offsite_denied"] == 1
+    assert f.pending_count() == 0
