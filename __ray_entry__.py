@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_project_lineitem": q.filter_project_lineitem,
         "revenue_by_nation": q.revenue_by_nation,
         "quality_filter": q.quality_filter,
+        "corpus_clean": q.corpus_clean,
         "top_docs_by_len": q.top_docs_by_len,
         # --- text analysis ---
         "token_counts": text.token_counts,
@@ -83,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash_neardup": images_ops.image_phash_neardup,
         "image_thumbnails": images_ops.image_thumbnails,
         "image_embeddings": images_ops.image_embeddings,
+        "video_frame_sample": images_ops.video_frame_sample,
         # --- crawl engine (rows-only; golden parity in tests) ---
         "crawl_entries_ordered": _crawl_entries,
         "crawl_seen_set": _crawl_seen,
@@ -368,6 +370,19 @@ def oracle_sql() -> dict[str, str]:
         "top_docs_by_len": """
             SELECT doc_id, length(text) AS n_chars_m FROM documents
             ORDER BY n_chars_m DESC, doc_id LIMIT 20
+        """,
+        "corpus_clean": f"""
+            WITH k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+            s AS (
+                SELECT doc_id,
+                       len({tok_list}) AS n_tokens,
+                       list_aggregate(list_transform({tok_list}, x -> length(x)), 'max') AS mx,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000
+                           // greatest(1, length(text)) AS alpha_ratio_e3
+                FROM documents)
+            SELECT s.doc_id, s.n_tokens, s.alpha_ratio_e3
+            FROM s JOIN k ON s.doc_id = k.doc_id
+            WHERE s.n_tokens >= 10 AND s.mx <= 40 AND s.alpha_ratio_e3 >= 500
         """,
         "ann_brute_topk": """
             WITH q AS (

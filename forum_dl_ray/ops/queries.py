@@ -306,6 +306,26 @@ def quality_filter(sf_dir: str, min_tokens: int = 10, max_token_len: int = 40,
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+# --------------------------------------- composed corpus-cleaning pipeline
+def corpus_clean(sf_dir: str) -> pd.DataFrame:
+    """End-to-end corpus gate: quality filter ∩ exact-dedup keepers —
+    the composition a pre-training pipeline runs before near-dup
+    removal. Both legs are the distributed pipelines above; the final
+    intersection joins two already-reduced result tables via a sorted-
+    array membership test (no full-corpus shuffle)."""
+    from .dedup import exact_dedup_keepers
+
+    quality = quality_filter(sf_dir)
+    keepers = np.sort(exact_dedup_keepers(sf_dir)["doc_id"].to_numpy())
+    ids = quality["doc_id"].to_numpy()
+    if len(keepers) == 0 or len(ids) == 0:
+        return quality.iloc[0:0]
+    pos = np.searchsorted(keepers, ids)
+    pos[pos >= len(keepers)] = len(keepers) - 1
+    out = quality[keepers[pos] == ids]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # --------------------------------------------------- sort + limit (A6 top-k)
 def top_docs_by_len(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """Longest-k documents: per-batch local top-k (combiner) before the

@@ -141,9 +141,19 @@ class LangId:
         )
 
 
-def lang_id(sf_dir: str) -> rd.Dataset:
+def lang_id(sf_dir: str, concurrency: int | None = None) -> rd.Dataset:
     ds = _read_docs(sf_dir, ["doc_id", "text"])
-    return ds.map_batches(LangId, batch_format="pyarrow", runtime_env=_RENV, batch_size=4096, concurrency=2)
+    if concurrency is None:
+        # scale the actor pool with the cluster: a fixed pool of 2
+        # starved 32 cpus (measured: lang_id was the slowest text op)
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        concurrency = max(2, cpus // 4)
+    return ds.map_batches(
+        LangId, batch_format="pyarrow", runtime_env=_RENV,
+        batch_size=4096, concurrency=concurrency,
+    )
 
 
 _FP_BASE = np.uint64(1099511628211)
@@ -192,20 +202,44 @@ def fingerprints(sf_dir: str) -> rd.Dataset:
 
 
 def token_hashes(texts: list[str], shingle: int = 3) -> list[np.ndarray]:
-    """Per-doc array of stable 64-bit shingle hashes (word n-grams)."""
+    """Per-doc array of stable 64-bit shingle hashes (word n-grams).
+
+    One blake2b per DISTINCT token (cached across the batch), then the
+    n-gram hash is a vectorized mix of the window's token hashes —
+    round 1 hashed every gram string individually, which made shingling
+    the hot loop of the whole minhash family. Distinct grams still map
+    to distinct hashes whp (64-bit mix), which is all the LSH bands and
+    the Jaccard verify need."""
+    # batch-level token-hash cache: vocabulary ≪ token occurrences
+    vocab: dict[str, int] = {}
+    tok_lists = [t.split() for t in texts]
+    for toks in tok_lists:
+        for w in toks:
+            if w not in vocab:
+                vocab[w] = int.from_bytes(
+                    hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"
+                )
+    mix1 = np.uint64(0x9E3779B97F4A7C15)
+    mix2 = np.uint64(0xC2B2AE3D27D4EB4F)
     out = []
-    for t in texts:
-        toks = t.split()
-        if len(toks) < shingle:
-            grams = [" ".join(toks)] if toks else [""]
-        else:
-            grams = [" ".join(toks[i : i + shingle]) for i in range(len(toks) - shingle + 1)]
-        h = np.empty(len(grams), dtype=np.uint64)
-        for i, g in enumerate(grams):
-            h[i] = int.from_bytes(
-                hashlib.blake2b(g.encode(), digest_size=8).digest(), "little"
-            )
-        out.append(h)
+    with np.errstate(over="ignore"):
+        for toks in tok_lists:
+            n = len(toks)
+            h = np.fromiter((vocab[w] for w in toks), dtype=np.uint64, count=n)
+            if n < shingle:
+                # short doc: one gram = the whole token list (or empty)
+                acc = np.uint64(0)
+                for v in h:
+                    acc = acc * mix1 + v
+                out.append(np.array([acc], dtype=np.uint64))
+                continue
+            g = h[: n - shingle + 1].copy()
+            for k in range(1, shingle):
+                g = g * mix1 + h[k : n - shingle + 1 + k]
+            g ^= g >> np.uint64(29)
+            g = g * mix2
+            g ^= g >> np.uint64(32)
+            out.append(g)
     return out
 
 
