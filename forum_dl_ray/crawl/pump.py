@@ -1,0 +1,226 @@
+"""Distributed wave pumps — the multi-node scale path for the crawl loop.
+
+The wave Crawler (crawler.py) drives ALL polling/slicing/dispatch from
+one driver loop. On one node that pump is far from the bottleneck
+(fetch+parse saturates 32 cores at ~40-100k urls/s while the pump
+sustains ~200k polls/s), but on a 256-node cluster a single Python
+process cannot feed ~10M urls/s. This module shards the PUMP itself:
+
+- P `PumpActor`s each own a disjoint subset of frontier shards. A pump
+  polls ONLY its shards and dispatches fetch→parse / fetch→asset Ray
+  tasks directly — ready rows never transit the driver.
+- Offers still go to the HOST-owNING shard wherever they were parsed
+  (the shared frontier facade travels pickled into every task), so the
+  seen set, politeness and ordering semantics are exactly the wave
+  crawler's: order keys are enqueue-derived, so the order-key sort
+  reproduces the golden sequence regardless of which pump fetched what.
+- Politeness clocks stay consistent because each shard is polled by
+  exactly ONE pump: a token bucket only ever sees one process's
+  monotonic clock (the same invariant the single driver gave it).
+- The driver degrades to a COORDINATOR: one small RPC per pump per
+  tick (reap + dispatch + idle flag) and the global termination test
+  (all pumps idle ∧ no tasks in flight ∧ frontier drained) — O(P) per
+  tick instead of O(urls).
+
+Checkpoint/resume stays on the wave crawler (the two share every
+kernel and the frontier snapshot format); this path trades
+checkpointing for pump scalability and is benchmarked/verified against
+the same goldens (tests/test_pump.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+
+from ..frontier import Frontier, FrontierConfig
+from .assets import asset_batch
+from .crawler import CrawlConfig, Crawler, _STAGE_RUNTIME_ENV
+from .fetch import fetch_batch, put_store
+from .parse import parse_batch
+
+
+@ray.remote(num_cpus=1)
+def _page_task(t: pa.Table, store_box, frontier, out_path: str,
+               flaky_rate: float, retries: int) -> int:
+    # store_box = [ObjectRef]: boxed so Ray does NOT auto-deref the
+    # broadcast page store into every task's argument payload
+    fetched = fetch_batch(t, pages_path=store_box[0], frontier=frontier,
+                          flaky_rate=flaky_rate, retries=retries)
+    ents = parse_batch(fetched, frontier=frontier, wave=-1)
+    pq.write_table(ents, out_path)
+    return ents.num_rows
+
+
+@ray.remote(num_cpus=1)
+def _asset_task(t: pa.Table, store_box, frontier, out_path: str,
+                flaky_rate: float, retries: int) -> int:
+    fetched = fetch_batch(t, pages_path=store_box[0], frontier=frontier,
+                          flaky_rate=flaky_rate, retries=retries)
+    rows = asset_batch(fetched)
+    pq.write_table(rows, out_path)
+    return rows.num_rows
+
+
+@ray.remote(num_cpus=0.25)
+class PumpActor:
+    """One autonomous pump: polls its shard subset, slices, dispatches."""
+
+    def __init__(self, pump_id: int, frontier: Frontier, my_shard_ids: list[int],
+                 store_box, entries_dir: str, images_dir: str,
+                 rows_per_task: int = 512, max_inflight: int = 8,
+                 fetch_assets: bool = True, flaky_rate: float = 0.0,
+                 retries: int = 3):
+        self.pump_id = pump_id
+        self.frontier = frontier
+        self.my_shards = [frontier.shards[i] for i in my_shard_ids]
+        self.store_box = store_box  # [ObjectRef], see _page_task
+        self.entries_dir = os.path.join(entries_dir, f"pump={pump_id}")
+        self.images_dir = os.path.join(images_dir, f"pump={pump_id}")
+        os.makedirs(self.entries_dir, exist_ok=True)
+        os.makedirs(self.images_dir, exist_ok=True)
+        self.rows_per_task = rows_per_task
+        self.max_inflight = max_inflight
+        self.fetch_assets = fetch_assets
+        self.flaky_rate = flaky_rate
+        self.retries = retries
+        self.inflight: list = []
+        self.part = 0
+        self.n_dispatched = 0
+
+    def pump_once(self) -> dict:
+        """One coordinator tick: reap finished tasks, poll own shards,
+        dispatch new tasks. Returns (dispatched, inflight) so the
+        coordinator can decide global quiescence."""
+        if self.inflight:
+            done, rest = ray.wait(self.inflight, num_returns=len(self.inflight),
+                                  timeout=0)
+            ray.get(done)  # propagate task failures loudly
+            self.inflight = rest
+        dispatched = 0
+        if len(self.inflight) < self.max_inflight:
+            per_shard = max(64, self.rows_per_task)
+            now = time.monotonic()
+            tables = [t for t in ray.get(
+                [sh.poll.remote(now, per_shard) for sh in self.my_shards]
+            ) if t.num_rows]
+            if tables:
+                t = pa.concat_tables(tables)
+                # hot-host salting (same permutation the wave crawler uses)
+                perm = np.argsort(
+                    t["url_hash"].to_numpy(zero_copy_only=False), kind="stable"
+                )
+                t = t.take(perm)
+                is_asset = pc.equal(t["kind"], "asset")
+                pages_t = t.filter(pc.invert(is_asset))
+                assets_t = t.filter(is_asset)
+                if not self.fetch_assets:
+                    assets_t = assets_t.slice(0, 0)
+                for src, task, root in (
+                    (pages_t, _page_task, self.entries_dir),
+                    (assets_t, _asset_task, self.images_dir),
+                ):
+                    for off in range(0, src.num_rows, self.rows_per_task):
+                        chunk = src.slice(off, self.rows_per_task)
+                        out_path = os.path.join(root, f"part-{self.part:06d}.parquet")
+                        self.part += 1
+                        self.inflight.append(
+                            task.options(runtime_env=_STAGE_RUNTIME_ENV).remote(
+                                chunk, self.store_box, self.frontier, out_path,
+                                self.flaky_rate, self.retries,
+                            )
+                        )
+                        dispatched += chunk.num_rows
+        self.n_dispatched += dispatched
+        return {"dispatched": dispatched, "inflight": len(self.inflight),
+                "total": self.n_dispatched}
+
+
+class MultiPumpCrawler:
+    """Crawler variant driven by P distributed pumps (see module doc).
+
+    Reuses the wave Crawler's seed construction, output layout and
+    frontier wiring; only the pump loop differs. Output readers
+    (`ordered_items`, `images_dataset`, seen.parquet) are unchanged.
+    """
+
+    def __init__(self, fixture_dir: str, out_dir: str,
+                 config: CrawlConfig | None = None, n_pumps: int = 2,
+                 seeds: list[dict] | None = None):
+        self.inner = Crawler(fixture_dir, out_dir, config, seeds=seeds)
+        self.n_pumps = max(1, min(n_pumps, (config or CrawlConfig()).num_shards))
+
+    def run(self) -> dict:
+        cfg = self.inner.config
+        c = self.inner
+        for d in (c.entries_dir, c.images_dir):
+            shutil.rmtree(d, ignore_errors=True)
+            os.makedirs(d, exist_ok=True)
+        frontier = Frontier.create(
+            FrontierConfig(num_shards=cfg.num_shards,
+                           capacity_per_shard=cfg.capacity_per_shard,
+                           default_rate=cfg.default_rate)
+        )
+        for host, rate in cfg.host_rates.items():
+            frontier.set_host_policy(host, rate)
+        for host, dis in cfg.robots.items():
+            frontier.set_robots(host, dis)
+        if cfg.restrict_to_seeds:
+            from ..urlnorm import host_of, normalize_url
+
+            frontier.set_allowed_bases(sorted({
+                f"http://{host_of(normalize_url(s['seed_url']))}/"
+                for s in c.seeds
+            }))
+        frontier.offer(c.seed_entries())
+        store_box = [put_store(c.pages_path)]
+
+        shard_ids = list(range(cfg.num_shards))
+        pumps = [
+            PumpActor.options(runtime_env=_STAGE_RUNTIME_ENV).remote(
+                p, frontier, shard_ids[p::self.n_pumps], store_box,
+                c.entries_dir, c.images_dir,
+                rows_per_task=max(cfg.min_rows_per_task, 64),
+                max_inflight=cfg.max_inflight_waves * 4,
+                fetch_assets=cfg.fetch_assets, flaky_rate=cfg.flaky_rate,
+                retries=cfg.retries,
+            )
+            for p in range(self.n_pumps)
+        ]
+        t0 = time.perf_counter()
+        ticks = 0
+        n_total = 0
+        while True:
+            stats = ray.get([p.pump_once.remote() for p in pumps])
+            ticks += 1
+            n_total = sum(s["total"] for s in stats)
+            busy = any(s["dispatched"] or s["inflight"] for s in stats)
+            if not busy and frontier.pending_count() == 0:
+                break
+            if not busy:
+                time.sleep(0.01)  # politeness tokens refilling
+        elapsed = time.perf_counter() - t0
+
+        os.makedirs(c.out_dir, exist_ok=True)
+        pq.write_table(frontier.seen_table(),
+                       os.path.join(c.out_dir, "seen.parquet"))
+        stats = {
+            "pumps": self.n_pumps,
+            "ticks": ticks,
+            "elapsed_sec": elapsed,
+            "urls_fetched": n_total,
+            "urls_per_sec": n_total / elapsed if elapsed > 0 else 0.0,
+            **frontier.counters(),
+        }
+        with open(os.path.join(c.out_dir, "stats.json"), "w") as f:
+            json.dump(stats, f, indent=1)
+        return stats
