@@ -53,9 +53,23 @@ AUTHOR_RE = re.compile(r"<b>([^<]*)</b>")
 DATE_RE = re.compile(r"<i>([^<]*)</i>")
 PRE_RE = re.compile(r"<pre>(.*?)</pre>", re.S)
 
+# hypermail post-page style (hypermail.py:203-229): Author/Date meta
+# tags, content = siblings after the <address> block
+HM_AUTHOR_RE = re.compile(r'<meta name="Author" content="([^"]*)">')
+HM_DATE_RE = re.compile(r'<meta name="Date" content="([^"]*)">')
+HM_TAIL_RE = re.compile(r"</address>(.*?)</body>", re.S)
+
+# hyperkitty post-page style (hyperkitty.py:246-271): email-author /
+# time span[title="Sender's time: ..."] / email-body divs
+HK_AUTHOR_RE = re.compile(r'<div class="email-author"><a>([^<]*)</a></div>')
+HK_TIME_RE = re.compile(r'<div class="time"><span title="Sender\'s time: ([^"]*)">')
+HK_BODY_RE = re.compile(r'<div class="email-body">(.*?)</div>', re.S)
+
 # pipermail's free-text date (dateparser stand-in, M17: one more fixed
 # format — zero-padded day keeps strptime exact)
 DATE_FMT = "%a %b %d %H:%M:%S %Y"
+# hypermail's Date meta is RFC-2822-shaped (M17: third date style)
+HM_DATE_FMT = "%a, %d %b %Y %H:%M:%S %z"
 
 
 def canon(href: str, base_url: str) -> str:
@@ -129,11 +143,44 @@ def parse_month_threads(body: bytes, page_url: str) -> list[dict]:
 
 
 def parse_post_page(body: bytes, page_url: str) -> dict:
-    """Post page → author/<i>-date/<pre>-content (pipermail.py:320-346;
-    the reference also strips `><i>...</i>` quote wrappers, mirrored
-    here)."""
+    """Post page → (author, time_iso, content), dispatching on the
+    page's own markup style — the three mail-archive families share the
+    crawl/cursor structure and differ only here:
+
+    - hypermail (hypermail.py:203-229): Author/Date meta tags, content
+      = siblings after <address>, RFC-2822 date;
+    - hyperkitty (hyperkitty.py:246-271): email-author / time-span
+      title ("Sender's time: ...") / email-body divs, free-text date;
+    - pipermail (pipermail.py:320-346): <b> author, <i> free-text
+      date, <pre> content with `><i>...</i>` quote wrappers stripped.
+    """
     text = body.decode("utf-8", "replace")
-    am = AUTHOR_RE.search(text)
+    hm = HM_AUTHOR_RE.search(text)
+    if hm:  # hypermail
+        dm = HM_DATE_RE.search(text)
+        time_iso = ""
+        if dm:
+            from datetime import timezone
+
+            dt = datetime.strptime(dm.group(1), HM_DATE_FMT)
+            time_iso = dt.astimezone(timezone.utc).replace(tzinfo=None).isoformat()
+        tail = HM_TAIL_RE.search(text)
+        return {
+            "author": hm.group(1),
+            "time_iso": time_iso,
+            "content": tail.group(1).strip() if tail else "",
+        }
+    hk = HK_AUTHOR_RE.search(text)
+    if hk:  # hyperkitty
+        tm = HK_TIME_RE.search(text)
+        bm = HK_BODY_RE.search(text)
+        time_iso = datetime.strptime(tm.group(1), DATE_FMT).isoformat() if tm else ""
+        return {
+            "author": hk.group(1),
+            "time_iso": time_iso,
+            "content": bm.group(1).strip() if bm else "",
+        }
+    am = AUTHOR_RE.search(text)  # pipermail
     dm = DATE_RE.search(text)
     pm = PRE_RE.search(text)
     time_iso = ""

@@ -59,6 +59,7 @@ class SiteSpec:
     fail_page1_board: str = ""    # bid whose FIRST page returns 500
     data_url_rate: float = 0.0    # fraction of posts embedding a data: image (M22)
     page_embed_rate: float = 0.0  # fraction of pages carrying page-level embeds (M7)
+    archive_style: str = "pipermail"  # mail-archive post-page markup family (M16)
 
 
 @dataclass
@@ -594,6 +595,14 @@ def mail_spec() -> FixtureSpec:
             SiteSpec(host="pipermail.test", engine="mail-archive",
                      n_top_boards=2, threads_per_board=6, threads_per_page=2,
                      posts_per_thread=5, seed=95),
+            SiteSpec(host="hypermail.test", engine="mail-archive",
+                     archive_style="hypermail", n_top_boards=1,
+                     threads_per_board=4, threads_per_page=2,
+                     posts_per_thread=4, seed=96),
+            SiteSpec(host="hyperkitty.test", engine="mail-archive",
+                     archive_style="hyperkitty", n_top_boards=1,
+                     threads_per_board=4, threads_per_page=2,
+                     posts_per_thread=4, seed=97),
         ],
     )
 

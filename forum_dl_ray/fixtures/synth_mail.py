@@ -112,14 +112,35 @@ def build_mail_archive_site(spec: SiteSpec) -> tuple[list[dict], list[dict]]:
                     + [(r["num"], f"Re: {t['title']}") for r in t["replies"]]
                 ):
                     author = f"user{int(b.rng.integers(1, 20))} at {b.host_tag}"
-                    when = (_EPOCH + timedelta(minutes=num)).strftime(DATE_FMT)
+                    when_dt = _EPOCH + timedelta(minutes=num)
                     body_txt = _sentence(b.rng, f"{num:06d}")
-                    add_html(
-                        f"/pipermail/{lid}/{mn}/{num:06d}.html",
-                        f"<html><head>{marker}<title>{title}</title></head><body>"
-                        f"<b>{author}</b> <i>{when}</i>\n"
-                        f"<pre>{body_txt}\n><i>quoted line\n</i>more text</pre>"
-                        f"</body></html>",
-                        "mail_post",
-                    )
+                    style = spec.archive_style
+                    if style == "hypermail":
+                        rfc = when_dt.strftime("%a, %d %b %Y %H:%M:%S +0000")
+                        page = (
+                            f"<html><head>{marker}<title>{title}</title>"
+                            f'<meta name="Author" content="{author}">'
+                            f'<meta name="Date" content="{rfc}">'
+                            f"</head><body><address>{author}</address>"
+                            f"<p>{body_txt}</p><p>more text</p></body></html>"
+                        )
+                    elif style == "hyperkitty":
+                        when = when_dt.strftime(DATE_FMT)
+                        page = (
+                            f"<html><head>{marker}<title>{title}</title></head><body>"
+                            f'<div class="email-author"><a>{author}</a></div>'
+                            f'<div class="time"><span title="Sender\'s time: {when}">'
+                            f"</span></div>"
+                            f'<div class="email-body"><p>{body_txt}</p></div>'
+                            f"</body></html>"
+                        )
+                    else:  # pipermail
+                        when = when_dt.strftime(DATE_FMT)
+                        page = (
+                            f"<html><head>{marker}<title>{title}</title></head><body>"
+                            f"<b>{author}</b> <i>{when}</i>\n"
+                            f"<pre>{body_txt}\n><i>quoted line\n</i>more text</pre>"
+                            f"</body></html>"
+                        )
+                    add_html(f"/pipermail/{lid}/{mn}/{num:06d}.html", page, "mail_post")
     return b.pages, b.images

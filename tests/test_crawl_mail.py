@@ -56,21 +56,33 @@ def test_mail_seen_set(crawl_out, golden):
 
 
 def test_mail_structure(crawl_out, golden):
-    """Shape checks: boards = root + one per list; every post page
-    fetched exactly once; quote wrappers stripped from contents;
-    free-text dates normalized."""
+    """Shape checks per archive style: boards = root + one per list;
+    every post page fetched exactly once; style-specific field
+    extraction (quote stripping, meta dates, email-body divs)."""
     df = ordered_items(crawl_out).to_pandas()
     boards = df[df["type"] == "board"]
-    assert len(boards) == 3  # root listinfo + 2 lists
+    assert len(boards) == 7  # 3 listinfo roots + 2 + 1 + 1 lists
     posts = df[df["type"] == "post"]
-    assert len(posts) == 2 * 6 * 5
+    host = posts["origin"].str.extract(r"http://([^/]+)/")[0]
+    pm = posts[host == "pipermail.test"]
+    hm = posts[host == "hypermail.test"]
+    hk = posts[host == "hyperkitty.test"]
+    assert len(pm) == 2 * 6 * 5 and len(hm) == 4 * 4 and len(hk) == 4 * 4
     assert posts["url"].is_unique  # one page per post
-    assert posts["content"].str.contains(">quoted line").all()
-    assert not posts["content"].str.contains("<i>").any()
     assert posts["creation_time"].notna().all()
+    # pipermail: <pre> content with quote wrappers stripped
+    assert pm["content"].str.contains(">quoted line").all()
+    assert not pm["content"].str.contains("<i>").any()
+    # hypermail: content = siblings after <address>; Date meta parsed
+    assert hm["content"].str.startswith("<p>").all()
+    assert hm["content"].str.contains("more text").all()
+    assert not hm["content"].str.contains("<address>").any()
+    # hyperkitty: content = email-body inner html
+    assert hk["content"].str.startswith("<p>").all()
+    assert not hk["content"].str.contains("email-body").any()
     # reply-tree subpaths: roots have depth-1 subpath, replies deeper
     roots = posts[posts["subpath"].map(lambda s: len(json.loads(s))) == 1]
-    assert len(roots) == 12
+    assert len(roots) == 12 + 4 + 4
     assert (posts["subpath"].map(lambda s: len(json.loads(s))) <= 4).all()
 
 
