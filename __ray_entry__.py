@@ -346,6 +346,35 @@ def oracle_sql() -> dict[str, str]:
                   (len(a.grams) + len(b.grams)
                    - len(list_intersect(a.grams, b.grams))) >= 0.5
         """,
+        # ground truth for the clustering: connected components of the
+        # exact >=0.5 Jaccard pair graph (recursive min-label closure);
+        # matching it certifies LSH recall AND the union-find labeling
+        "minhash_clusters": r"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                     ELSE list_distinct(
+                        [array_to_string(toks[i:i+2], ' ')
+                         for i in range(1, len(toks)-1)])
+                END AS grams
+              FROM t
+            ), p0 AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+              WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+                    (len(a.grams) + len(b.grams)
+                     - len(list_intersect(a.grams, b.grams))) >= 0.5
+            ), reach AS (
+              SELECT doc_id AS src, doc_id AS dst FROM documents
+              UNION
+              SELECT r.src, p.id_b FROM reach r JOIN p0 p ON r.dst = p.id_a
+            )
+            SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY src
+        """,
         "revenue_by_nation": """
             SELECT n_name,
                    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c,
