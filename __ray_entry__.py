@@ -74,6 +74,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters": dedup.minhash_clusters,
         "simhash_dedup_pairs": dedup.simhash_dedup_pairs,
         "embedding_dedup_pairs": dedup.embedding_dedup_pairs,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        # low-sim LSH regime: the synthetic corpus has no pairs above
+        # cos ~0.6 (see the op docstring for the parameter math)
+        "embedding_dedup_pairs_lsh": lambda sf: dedup.embedding_dedup_pairs_lsh(
+            sf, n_planes=5, n_tables=24
+        ),
         # --- similarity search ---
         "ann_brute_topk": lambda sf: similarity.brute_topk(sf, QUERY_VEC_IDS, k=10),
         "ann_ivf_topk": lambda sf: similarity.ivf_topk(sf, QUERY_VEC_IDS, k=10),
@@ -429,6 +435,31 @@ def oracle_sql() -> dict[str, str]:
                 WHERE e.vec_id != q.qid
             )
             SELECT query_id, vec_id, round(cos, 5) AS cos_r FROM s WHERE rn <= 10
+        """,
+        "ngram_jaccard_pairs": r"""
+            WITH tk AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents
+            ), d AS (
+                SELECT doc_id, list_distinct(
+                    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                         ELSE list_transform(generate_series(1, len(toks) - 2),
+                                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    END) AS sh
+                FROM tk
+            ), s AS (
+                SELECT doc_id, unnest(sh) AS g FROM d
+            ), n AS (
+                SELECT doc_id, len(sh) AS m FROM d
+            ), p AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT p.id_a, p.id_b,
+                   CAST((p.inter * 10000) // (na.m + nb.m - p.inter) AS BIGINT) AS jacc_e4
+            FROM p JOIN n na ON na.doc_id = p.id_a JOIN n nb ON nb.doc_id = p.id_b
+            WHERE (p.inter * 10000) // (na.m + nb.m - p.inter) >= 5000
+            ORDER BY 1, 2
         """,
         "embedding_dedup_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "exact_dedup_keepers",
     "minhash_clusters",
     "simhash_dedup_pairs",
+    "ngram_jaccard_pairs",
     "embedding_dedup_pairs",
     "ann_brute_topk",
     "ann_ivf_topk",

@@ -162,9 +162,10 @@ def _jaccard(a: set, b: set) -> float:
     return len(a & b) / len(a | b)
 
 
-def _verify_pairs_jaccard(sf_dir: str, cand: pd.DataFrame, shingle: int,
-                          n_buckets: int = 64) -> np.ndarray:
-    """Exact shingle Jaccard per candidate pair, fully distributed:
+def _verify_pairs_counts(sf_dir: str, cand: pd.DataFrame, shingle: int,
+                         n_buckets: int = 64) -> tuple[np.ndarray, np.ndarray]:
+    """Exact shingle (intersection, union) counts per candidate pair,
+    fully distributed:
 
     1. broadcast a (doc_id -> [(pair_idx, side)]) map built from the
        SMALL candidate-pair table (pairs ≪ corpus, the LSH guarantee);
@@ -206,26 +207,39 @@ def _verify_pairs_jaccard(sf_dir: str, cand: pd.DataFrame, shingle: int,
             }
         )
 
-    def pair_jaccard(g: pd.DataFrame) -> pd.DataFrame:
-        out_idx, out_jac = [], []
+    def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+        out_idx, out_inter, out_union = [], [], []
         for pidx, grp in g.groupby("pair_idx", sort=False):
             sides = {int(s): set(h) for s, h in zip(grp["side"], grp["hashes"])}
             if len(sides) == 2:
                 out_idx.append(int(pidx))
-                out_jac.append(_jaccard(sides[0], sides[1]))
+                out_inter.append(len(sides[0] & sides[1]))
+                out_union.append(len(sides[0] | sides[1]))
         return pd.DataFrame({"pair_idx": pd.Series(out_idx, dtype="int64"),
-                             "jacc": pd.Series(out_jac, dtype="float64")})
+                             "inter": pd.Series(out_inter, dtype="int64"),
+                             "union": pd.Series(out_union, dtype="int64")})
 
     verified = (
         _read_docs(sf_dir, ["doc_id", "text"])
         .map_batches(shingle_stage, batch_format="pyarrow", runtime_env=_RENV, batch_size=4096)
         .groupby("bucket")
-        .map_groups(pair_jaccard, batch_format="pandas", runtime_env=_RENV)
+        .map_groups(pair_counts, batch_format="pandas", runtime_env=_RENV)
         .to_pandas()  # n_pairs rows — small by construction
     )
-    jac = np.zeros(len(cand), dtype=np.float64)
-    jac[verified["pair_idx"].to_numpy()] = verified["jacc"].to_numpy()
-    return jac
+    inter = np.zeros(len(cand), dtype=np.int64)
+    union = np.ones(len(cand), dtype=np.int64)
+    inter[verified["pair_idx"].to_numpy()] = verified["inter"].to_numpy()
+    union[verified["pair_idx"].to_numpy()] = verified["union"].to_numpy()
+    return inter, union
+
+
+def _verify_pairs_jaccard(sf_dir: str, cand: pd.DataFrame, shingle: int,
+                          n_buckets: int = 64) -> np.ndarray:
+    """Exact shingle Jaccard per candidate pair (see
+    :func:`_verify_pairs_counts`); union is never 0 because
+    ``token_hashes`` emits at least one gram per doc."""
+    inter, union = _verify_pairs_counts(sf_dir, cand, shingle, n_buckets)
+    return inter / union
 
 
 def minhash_dedup_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
@@ -285,6 +299,67 @@ def minhash_clusters(sf_dir: str, **kw) -> rd.Dataset:
     return _read_docs(sf_dir, ["doc_id"]).map_batches(
         assign, batch_format="pyarrow", runtime_env=_RENV, batch_size=65536
     )
+
+
+# ---------------------------------------------------- n-gram Jaccard join
+def ngram_jaccard_pairs(sf_dir: str, shingle: int = 3,
+                        threshold_e4: int = 5000) -> pd.DataFrame:
+    """EXACT n-gram (word-shingle) Jaccard similarity join via prefix
+    filtering (the All-Pairs/PPJoin principle, Bayardo et al. WWW'07):
+
+    each doc indexes only its first ``m - ceil(t*m) + 1`` distinct
+    shingle hashes under the global ascending-hash order (m = distinct
+    shingles, t = threshold). Any pair with J >= t shares >= ceil(t*m)
+    shingles, hence must collide on an indexed prefix hash — so the
+    candidate set is exact WITHOUT an all-pairs scan and without
+    inverting hot high-frequency shingles (they mostly fall outside
+    prefixes). Candidates then get exact distributed
+    intersection/union counts (:func:`_verify_pairs_counts`); text
+    bodies never shuffle and the corpus never lands on the driver.
+
+    Returns (id_a, id_b, jacc_e4) with jacc_e4 = floor(1e4·|A∩B|/|A∪B|)
+    — integer output so the driver's dtype-sensitive value hash can't
+    drift against the DuckDB oracle.
+
+    Reference parity: forum-dl has no similarity join; this is one of
+    the training-data dedup family ops (SURVEY.md §2 A7 extension).
+    """
+    t = threshold_e4 / 10000.0
+
+    def prefix_stage(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        grams: list[np.ndarray] = []
+        reps = np.empty(len(ids), dtype=np.int64)
+        for i, hashes in enumerate(token_hashes(texts, shingle=shingle)):
+            u = np.unique(hashes)  # sorted ascending = the global order
+            m = len(u)
+            p = m - int(np.ceil(t * m)) + 1
+            grams.append(u[:p])
+            reps[i] = p
+        flat = (np.concatenate(grams) if grams else np.empty(0, dtype=np.uint64))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, reps), pa.int64()),
+                "gram_hash": pa.array(flat.view(np.int64), pa.int64()),
+            }
+        )
+
+    prefix_ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        prefix_stage, batch_format="pyarrow", runtime_env=_RENV, batch_size=4096
+    )
+    cand = _lsh_candidate_pairs(prefix_ds, ["gram_hash"])
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64"),
+                          "jacc_e4": pd.Series([], dtype="int64")})
+    if len(cand) == 0:
+        return empty
+    cand = cand.drop_duplicates().astype({"id_a": "int64", "id_b": "int64"})
+    cand = cand.reset_index(drop=True)
+    inter, union = _verify_pairs_counts(sf_dir, cand, shingle)
+    cand["jacc_e4"] = pd.Series((inter * 10000) // union, dtype="int64")
+    out = cand[cand["jacc_e4"] >= threshold_e4]
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 # ------------------------------------------------------------ simhash dedup
@@ -414,4 +489,106 @@ def embedding_dedup_pairs(sf_dir: str, threshold: float = 0.4,
         {"id_a": pd.Series([], dtype="int64"),
          "id_b": pd.Series([], dtype="int64"),
          "cos_r": pd.Series([], dtype="float64")})
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+class _HyperplaneSigner:
+    """Actor-pool stage: random-hyperplane (SRP) LSH signatures for
+    cosine similarity. Planes are generated ONCE per actor from a
+    fixed seed (identical across actors — deterministic output), lazily
+    on the first batch because the embedding dim comes from the data.
+    Emits one (vec_id, table_id, sig_key) row per hash table."""
+
+    def __init__(self, n_planes: int = 8, n_tables: int = 16, seed: int = 42):
+        self.n_planes = n_planes
+        self.n_tables = n_tables
+        self.seed = seed
+        self.planes: np.ndarray | None = None  # (n_tables*n_planes, dim)
+        self.pow2 = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        if self.planes is None:
+            rng = np.random.default_rng(self.seed)
+            self.planes = rng.standard_normal((self.n_tables * self.n_planes, mat.shape[1]))
+        bits = (mat @ self.planes.T) > 0  # (n, T*P)
+        keys = (
+            bits.reshape(len(mat), self.n_tables, self.n_planes) @ self.pow2
+        ).astype(np.int64)  # (n, T)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t_ids = np.tile(np.arange(self.n_tables, dtype=np.int32), len(mat))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, self.n_tables), pa.int64()),
+                "band_id": pa.array(t_ids, pa.int32()),
+                "band_key": pa.array(keys.ravel(), pa.int64()),
+            }
+        )
+
+
+def embedding_dedup_pairs_lsh(sf_dir: str, threshold: float = 0.4,
+                              n_planes: int = 16, n_tables: int = 32,
+                              seed: int = 42) -> pd.DataFrame:
+    """APPROXIMATE embedding near-dup — the 10^9-row scale path for
+    :func:`embedding_dedup_pairs` (which is exact but O(n²) FLOPs).
+
+    Random-hyperplane LSH (Charikar STOC'02): each vector gets
+    ``n_tables`` keys of ``n_planes`` sign bits; two vectors at angle θ
+    agree on one bit with prob 1-θ/π, so close pairs collide in some
+    table whp while far pairs almost never do. Candidates come from the
+    same coarse-bucketed pair extraction as the minhash family (ONE
+    shuffle of small (id, key) rows — embeddings never shuffle), then
+    an exact-cosine verify over ONLY the candidate rows (distributed
+    semi-join: broadcast candidate-id set, filter the stream, collect
+    candidates ≪ corpus). Output ⊆ the exact op's output; recall vs
+    exact is measured in tests. Deterministic given the seed.
+
+    Parameter regimes (recall(c) = 1-(1-p(c)^P)^T, p(c) = 1-acos(c)/π):
+    the defaults (P=16 planes, T=32 tables) target true near-dup corpora
+    (recall ≈ 0.94 at cos 0.9 while only ~2% of random pairs become
+    candidates). The synthetic test embeddings have no pairs above cos
+    ~0.6, so tests and the queries() entry use the low-sim regime
+    (P=5, T=24: recall ≈ 0.92 at cos 0.4) — selectivity there is poor
+    by LSH mathematics, which is exactly why the exact block-pair op
+    remains the oracled baseline at test scale."""
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    sig = emb.map_batches(
+        _HyperplaneSigner,
+        fn_constructor_kwargs={"n_planes": n_planes, "n_tables": n_tables, "seed": seed},
+        batch_format="pyarrow", runtime_env=_RENV, batch_size=4096, concurrency=2,
+    )
+    cand = _lsh_candidate_pairs(sig, ["band_id", "band_key"])
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64"),
+                          "cos_r": pd.Series([], dtype="float64")})
+    if len(cand) == 0:
+        return empty
+    cand = cand.drop_duplicates().astype({"id_a": "int64", "id_b": "int64"})
+    cand = cand.reset_index(drop=True)
+
+    need = np.unique(np.concatenate([cand["id_a"].to_numpy(), cand["id_b"].to_numpy()]))
+    need_ref = ray.put(need.astype(np.int64))
+
+    def only_candidates(batch: pa.Table) -> pa.Table:
+        keys = ray.get(need_ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(keys, ids)
+        pos[pos >= len(keys)] = len(keys) - 1
+        return batch.filter(pa.array(keys[pos] == ids))
+
+    rows = emb.map_batches(
+        only_candidates, batch_format="pyarrow", runtime_env=_RENV, batch_size=8192
+    ).to_pandas()  # candidate rows only — ≪ corpus by the LSH guarantee
+    ids = rows["vec_id"].to_numpy().astype(np.int64)
+    mat = np.stack(rows["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat /= norms
+    lookup = {int(v): i for i, v in enumerate(ids)}
+    ia = np.fromiter((lookup[int(a)] for a in cand["id_a"]), dtype=np.int64, count=len(cand))
+    ib = np.fromiter((lookup[int(b)] for b in cand["id_b"]), dtype=np.int64, count=len(cand))
+    cos = np.einsum("ij,ij->i", mat[ia], mat[ib])
+    cand["cos_r"] = np.round(cos, 4)
+    out = cand[cand["cos_r"] >= threshold]
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

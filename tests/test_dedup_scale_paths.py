@@ -1,0 +1,87 @@
+"""Scale-path dedup ops: n-gram Jaccard prefix-filter join and
+random-hyperplane embedding LSH. The oracle suite covers value-level
+correctness for ngram_jaccard_pairs; these tests pin the structural
+guarantees (prefix-filter completeness, LSH subset/recall)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_ngram_prefix_filter_complete(ray_session):
+    """The PPJoin prefix index must produce EVERY pair with J >= t —
+    compare against an in-process brute-force all-pairs Jaccard over
+    the same shingle hashes."""
+    import pyarrow.parquet as pq
+
+    from forum_dl_ray.ops import dedup
+    from forum_dl_ray.ops.text import token_hashes
+
+    got = dedup.ngram_jaccard_pairs(SF_DIR, shingle=3, threshold_e4=5000)
+
+    tbl = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    ids = tbl["doc_id"].to_pylist()
+    sets = [set(h.tolist()) for h in token_hashes(tbl["text"].to_pylist(), shingle=3)]
+    want = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            inter = len(sets[i] & sets[j])
+            if inter == 0:
+                continue
+            union = len(sets[i] | sets[j])
+            e4 = (inter * 10000) // union
+            if e4 >= 5000:
+                a, b = sorted((ids[i], ids[j]))
+                want[(a, b)] = e4
+    have = {(a, b): e for a, b, e in zip(got["id_a"], got["id_b"], got["jacc_e4"])}
+    assert have == want
+
+
+def test_embedding_lsh_subset_and_recall(ray_session):
+    """LSH output must be a subset of the exact op (verify is exact
+    cosine) with recall >= 0.85 in the low-sim parameter regime."""
+    from forum_dl_ray.ops import dedup
+
+    exact = dedup.embedding_dedup_pairs(SF_DIR)
+    lsh = dedup.embedding_dedup_pairs_lsh(SF_DIR, n_planes=5, n_tables=24)
+    e = set(zip(exact["id_a"], exact["id_b"]))
+    l = set(zip(lsh["id_a"], lsh["id_b"]))
+    assert l <= e
+    assert len(e) > 0
+    assert len(l & e) / len(e) >= 0.85, f"recall {len(l & e) / len(e):.2f}"
+    # cos values on the common pairs must be identical (same verify math)
+    em = {(a, b): c for a, b, c in zip(exact["id_a"], exact["id_b"], exact["cos_r"])}
+    for a, b, c in zip(lsh["id_a"], lsh["id_b"], lsh["cos_r"]):
+        assert em[(a, b)] == pytest.approx(c, abs=1e-9)
+
+
+def test_embedding_lsh_deterministic(ray_session):
+    from forum_dl_ray.ops import dedup
+
+    a = dedup.embedding_dedup_pairs_lsh(SF_DIR, n_planes=5, n_tables=8)
+    b = dedup.embedding_dedup_pairs_lsh(SF_DIR, n_planes=5, n_tables=8)
+    assert a.equals(b)
+
+
+def test_ngram_jaccard_prefix_prunes(ray_session):
+    """The prefix index must be materially smaller than the full
+    shingle inverted index (the point of prefix filtering)."""
+    import pyarrow.parquet as pq
+
+    from forum_dl_ray.ops.text import token_hashes
+
+    tbl = pq.read_table(os.path.join(SF_DIR, "documents.parquet"), columns=["text"])
+    total = 0
+    prefix = 0
+    for h in token_hashes(tbl["text"].to_pylist(), shingle=3):
+        m = len(np.unique(h))
+        total += m
+        prefix += m - int(np.ceil(0.5 * m)) + 1
+    assert prefix < 0.6 * total
