@@ -48,7 +48,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from forum_dl_ray.ops import dedup, images_ops, queries as q, similarity, text
+    from forum_dl_ray.ops import audio_ops, dedup, images_ops, queries as q, similarity, text
 
     out: dict[str, Callable[[str], Any]] = {
         # --- relational / aggregate (SURVEY.md A1/A3/A8, M23 analogs) ---
@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_thumbnails": images_ops.image_thumbnails,
         "image_embeddings": images_ops.image_embeddings,
         "video_frame_sample": images_ops.video_frame_sample,
+        "audio_decode_stats": audio_ops.audio_decode_stats,
+        "audio_windows": audio_ops.audio_windows,
         # --- crawl engine (rows-only; golden parity in tests) ---
         "crawl_entries_ordered": _crawl_entries,
         "crawl_seen_set": _crawl_seen,
