@@ -1,0 +1,183 @@
+"""Free-text date parsing (M17) — a deterministic `dateparser.parse`
+equivalent for the formats the reference feeds it.
+
+The reference calls `dateparser.parse` on free-text dates in phpBB
+(phpbb.py:465-471), SMF (simplemachines.py:434), Hyperkitty
+(hyperkitty.py:270,320) and Pipermail (pipermail.py:344). dateparser
+is locale- and wall-clock-dependent; this kernel is a fixed-rule
+subset covering those call sites' real-world formats, chosen so the
+same input always yields the same output on any machine:
+
+- ISO 8601 (`2024-01-02T10:03:04`, space separator, `Z`/offset)
+- epoch seconds / milliseconds
+- RFC 2822 (`Tue, 2 Jan 2024 10:03:04 +0000` — mail Date headers)
+- ctime (`Tue Jan  2 10:03:04 2024`, optional zone token)
+- month-name (`January 2, 2024, 10:03`, `Jan 2, 2024 10:03:04 PM`)
+- day-first (`2 January 2024 10:03`, `02 Jan 2024`)
+- numeric slash (`01/02/2024 10:03` — MDY by default like
+  dateparser's `en` locale; `dayfirst=True` flips it)
+- relative (`Today at 10:03 AM`, `Yesterday at 22:15`) — ONLY when a
+  caller-stamped `base` datetime is given (XenForo/vBulletin style;
+  wall-clock-relative forms are rejected without a base, per the
+  no-nondeterminism rule in CLAUDE.md)
+
+All aware inputs are converted to naive UTC (the convention every
+kernel's `time_iso` uses). Returns an ISO string or None.
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime, timedelta, timezone
+
+_MONTHS = {
+    m.lower(): i + 1
+    for i, m in enumerate(
+        ["January", "February", "March", "April", "May", "June", "July",
+         "August", "September", "October", "November", "December"]
+    )
+}
+for _m, _i in list(_MONTHS.items()):
+    _MONTHS[_m[:3]] = _i
+_MONTHS["sept"] = 9
+
+_TIME = r"(?P<h>\d{1,2}):(?P<mi>\d{2})(?::(?P<s>\d{2}))?\s*(?P<ap>[ap]\.?m\.?)?"
+_ZONE = r"(?:Z|UTC|GMT|[+-]\d{2}:?\d{2})?"
+
+_ISO_RE = re.compile(
+    r"^(?P<y>\d{4})-(?P<mo>\d{2})-(?P<d>\d{2})(?:[T ]" + _TIME + r")?\s*"
+    r"(?P<tz>Z|[+-]\d{2}:?\d{2})?$",
+    re.I,
+)
+_EPOCH_RE = re.compile(r"^(?P<n>\d{10}|\d{13})$")
+_RFC2822_RE = re.compile(
+    r"^(?:\w{3},\s*)?(?P<d>\d{1,2})\s+(?P<mo>[A-Za-z]{3,9})\.?\s+(?P<y>\d{4})"
+    r"(?:\s+" + _TIME + r")?\s*(?P<tz>[+-]\d{4}|[A-Z]{2,4})?$"
+)
+_CTIME_RE = re.compile(
+    r"^\w{3}\s+(?P<mo>[A-Za-z]{3})\s+(?P<d>\d{1,2})\s+" + _TIME +
+    r"(?:\s+(?P<tz>[A-Z]{2,4}))?\s+(?P<y>\d{4})$"
+)
+_MONTH_NAME_RE = re.compile(
+    r"^(?P<mo>[A-Za-z]{3,9})\.?\s+(?P<d>\d{1,2})(?:st|nd|rd|th)?,?\s+(?P<y>\d{4})"
+    r"(?:,?\s+(?:at\s+)?" + _TIME + r")?$",
+    re.I,
+)
+_SLASH_RE = re.compile(
+    r"^(?P<a>\d{1,2})/(?P<b>\d{1,2})/(?P<y>\d{4})(?:,?\s+" + _TIME + r")?$"
+)
+_RELATIVE_RE = re.compile(
+    r"^(?P<day>Today|Yesterday)\s+at\s+" + _TIME + r"$", re.I
+)
+_TZ_OFF_RE = re.compile(r"^([+-])(\d{2}):?(\d{2})$")
+
+
+def _clock(m: re.Match) -> tuple[int, int, int] | None:
+    """(h, mi, s) from the shared time groups; None on a bad clock."""
+    if m.group("h") is None:
+        return 0, 0, 0
+    h = int(m.group("h"))
+    mi = int(m.group("mi"))
+    s = int(m.group("s") or 0)
+    ap = (m.group("ap") or "").replace(".", "").lower()
+    if ap == "pm" and h != 12:
+        h += 12
+    elif ap == "am" and h == 12:
+        h = 0
+    if h > 23 or mi > 59 or s > 60:
+        return None
+    return h, mi, s
+
+
+def _shift_to_utc(dt: datetime, tz: str | None) -> datetime:
+    """Apply a trailing zone token and return naive UTC."""
+    if not tz or tz.upper() in ("Z", "UTC", "GMT", "UT"):
+        return dt
+    off = _TZ_OFF_RE.match(tz) or re.match(r"^([+-])(\d{2})(\d{2})$", tz)
+    if off:
+        delta = timedelta(hours=int(off.group(2)), minutes=int(off.group(3)))
+        return dt - delta if off.group(1) == "+" else dt + delta
+    return dt  # unknown alpha zone: treat as UTC (dateparser parity)
+
+
+def parse_freeform(text: str, base: datetime | None = None,
+                   dayfirst: bool = False) -> str | None:
+    """Parse a free-text date into a naive-UTC ISO string, or None."""
+    t = " ".join(text.strip().split())
+    if not t:
+        return None
+
+    m = _ISO_RE.match(t)
+    if m:
+        clock = _clock(m)
+        if clock is None:
+            return None
+        try:
+            dt = datetime(int(m.group("y")), int(m.group("mo")), int(m.group("d")),
+                          *clock)
+        except ValueError:
+            return None
+        return _shift_to_utc(dt, m.group("tz")).isoformat()
+
+    m = _EPOCH_RE.match(t)
+    if m:
+        n = int(m.group("n"))
+        if len(m.group("n")) == 13:
+            n /= 1000.0
+        return (datetime.fromtimestamp(n, tz=timezone.utc)
+                .replace(tzinfo=None).isoformat())
+
+    for rx in (_RFC2822_RE, _CTIME_RE, _MONTH_NAME_RE):
+        m = rx.match(t)
+        if not m:
+            continue
+        mo = _MONTHS.get(m.group("mo").lower().rstrip("."))
+        if mo is None:
+            continue
+        clock = _clock(m)
+        if clock is None:
+            return None
+        try:
+            dt = datetime(int(m.group("y")), mo, int(m.group("d")), *clock)
+        except ValueError:
+            return None
+        tz = m.groupdict().get("tz")
+        return _shift_to_utc(dt, tz).isoformat()
+
+    # day-first: "2 January 2024 10:03" (also covers "02 Jan 2024")
+    m = re.match(
+        r"^(?P<d>\d{1,2})(?:st|nd|rd|th)?\s+(?P<mo>[A-Za-z]{3,9})\.?,?\s+(?P<y>\d{4})"
+        r"(?:,?\s+(?:at\s+)?" + _TIME + r")?$", t, re.I)
+    if m:
+        mo = _MONTHS.get(m.group("mo").lower().rstrip("."))
+        clock = _clock(m)
+        if mo is not None and clock is not None:
+            try:
+                return datetime(int(m.group("y")), mo, int(m.group("d")),
+                                *clock).isoformat()
+            except ValueError:
+                return None
+
+    m = _SLASH_RE.match(t)
+    if m:
+        a, b = int(m.group("a")), int(m.group("b"))
+        mo, d = (b, a) if dayfirst else (a, b)
+        clock = _clock(m)
+        if clock is None:
+            return None
+        try:
+            return datetime(int(m.group("y")), mo, d, *clock).isoformat()
+        except ValueError:
+            return None
+
+    m = _RELATIVE_RE.match(t)
+    if m and base is not None:
+        clock = _clock(m)
+        if clock is None:
+            return None
+        day = base.date()
+        if m.group("day").lower() == "yesterday":
+            day = day - timedelta(days=1)
+        return datetime(day.year, day.month, day.day, *clock).isoformat()
+
+    return None

@@ -198,10 +198,19 @@ def _posts_xenforo(text: str):
 
 
 def _posts_smf(text: str):
+    """SMF dates are free text the reference feeds to dateparser
+    (simplemachines.py:434); the strict month-name format is tried
+    first (the fixture's default style), then the full freeform kernel
+    (engines/dates.py, M17) for the other real-world styles."""
     from datetime import datetime
 
+    from .dates import parse_freeform
+
     for num, indent, author, date_text, content in SMF_POST_RE.findall(text):
-        time_iso = datetime.strptime(date_text, _SMF_DATE_FMT).isoformat()
+        try:
+            time_iso = datetime.strptime(date_text, _SMF_DATE_FMT).isoformat()
+        except ValueError:
+            time_iso = parse_freeform(date_text) or ""
         yield f"p{num}", author, time_iso, indent, content
 
 

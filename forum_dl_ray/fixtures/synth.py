@@ -60,6 +60,7 @@ class SiteSpec:
     data_url_rate: float = 0.0    # fraction of posts embedding a data: image (M22)
     page_embed_rate: float = 0.0  # fraction of pages carrying page-level embeds (M7)
     archive_style: str = "pipermail"  # mail-archive post-page markup family (M16)
+    date_style: str = "strict"    # smf date text: strict | freeform (M17 kernel)
 
 
 @dataclass
@@ -251,7 +252,7 @@ class _SiteBuilder:
             if spec.dialect != "generic":
                 body += f'<meta name="dialect" content="{spec.dialect}">'
             for p in chunk:
-                body += _post_markup(spec.dialect, p)
+                body += _post_markup(spec.dialect, p, spec.date_style)
             next_url = None
             if page < n_pages:
                 body += f'<a class="next" href="/thread/{tid}?page={page + 1}">Next</a>'
@@ -312,7 +313,7 @@ class _SiteBuilder:
         )
 
 
-def _post_markup(dialect: str, p: dict) -> str:
+def _post_markup(dialect: str, p: dict, date_style: str = "strict") -> str:
     """Post-row HTML per engine-family dialect (the write side of the
     M8-M13 extraction kernels in engines/html_generic.py)."""
     pid, author, t, ind, content = p["pid"], p["author"], p["time"], p["indent"], p["content"]
@@ -335,7 +336,21 @@ def _post_markup(dialect: str, p: dict) -> str:
         from datetime import datetime as _dt
 
         num = pid.lstrip("p")
-        date_text = _dt.fromisoformat(t).strftime("%B %d, %Y, %H:%M")
+        dt = _dt.fromisoformat(t)
+        if date_style == "freeform":
+            # cycle the real-world styles the reference hands to
+            # dateparser (M17); the kernel must recover dt exactly
+            style = int(num) % 4
+            if style == 0:
+                date_text = dt.strftime("%d %B %Y, %H:%M:%S")        # day-first
+            elif style == 1:
+                date_text = dt.strftime("%a, %d %b %Y %H:%M:%S +0000")  # RFC 2822
+            elif style == 2:
+                date_text = dt.strftime("%a %b %d %H:%M:%S %Y")      # ctime
+            else:
+                date_text = dt.strftime("%B %d, %Y, %I:%M:%S %p")    # 12-hour
+        else:
+            date_text = dt.strftime("%B %d, %Y, %H:%M")
         return (
             f'<div class="smf-post" id="msg_{num}" data-indent="{ind}">'
             f'<h4 class="author">{author}</h4><span class="date">{date_text}</span>'
@@ -642,4 +657,12 @@ def dialects_spec() -> FixtureSpec:
                      posts_per_thread=5, posts_per_page=3, image_rate=0.25,
                      fail_rate=0.0, seed=80 + i)
         )
+    # smf again with every free-text date style the M17 kernel covers
+    # (day-first, RFC 2822, ctime, 12-hour month-name)
+    sites.append(
+        SiteSpec(host="smf-freeform.test", dialect="smf", date_style="freeform",
+                 n_top_boards=1, sub_levels=0, threads_per_board=2,
+                 threads_per_page=2, posts_per_thread=5, posts_per_page=3,
+                 image_rate=0.25, fail_rate=0.0, seed=97)
+    )
     return FixtureSpec(name="dialects", sites=sites)

@@ -50,7 +50,8 @@ def test_dialect_fields_extracted(crawl_out):
     df = ordered_items(crawl_out).to_pandas()
     posts = df[df["type"] == "post"]
     hosts = posts["origin"].str.extract(r"http://([^.]+)\.")[0]
-    assert set(hosts) == {"phpbb", "xenforo", "smf", "proboards", "vbulletin", "invision"}
+    assert set(hosts) == {"phpbb", "xenforo", "smf", "proboards", "vbulletin",
+                          "invision", "smf-freeform"}
     # every dialect produced authors and normalized timestamps
     for h, g in posts.groupby(hosts):
         assert g["author"].str.len().gt(0).all(), h
@@ -59,6 +60,13 @@ def test_dialect_fields_extracted(crawl_out):
     # SMF's minute-precision free-text dates round-trip to :00 seconds
     smf = posts[hosts == "smf"]
     assert all(pd.Timestamp(t).second == 0 for t in smf["creation_time"])
+    # the freeform-date smf site (M17 kernel) recovers the same
+    # minute-granular timestamps as the strict site style does
+    ff = posts[hosts == "smf-freeform"]
+    assert len(ff) > 0
+    assert ff["creation_time"].notna().all()
+    assert all(pd.Timestamp(t).second == 0 for t in ff["creation_time"])
+    assert ff["creation_time"].nunique() == len(ff)  # counter-minute times
     # vBulletin b-comment rows are interleaved in every thread page of
     # the fixture; the kernel must skip them (reference vbulletin.py:352)
     vb = posts[hosts == "vbulletin"]
