@@ -266,6 +266,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT image_id, 32 AS thumb_w, 32 AS thumb_h
             FROM read_parquet('{img_pq}')
         """,
+        # the op's LSH banding admits a pair iff SOME 16-bit phash chunk
+        # agrees — i.e. some 16-bit chunk of the xor is zero — so the
+        # oracle models banding exactly, then the hamming verify
+        "image_phash_neardup": f"""
+            SELECT a.image_id AS id_a, b.image_id AS id_b,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+            FROM read_parquet('{img_pq}') a
+            JOIN read_parquet('{img_pq}') b ON a.image_id < b.image_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 12
+              AND ((xor(a.phash, b.phash) & 65535) = 0
+                   OR ((xor(a.phash, b.phash) >> 16) & 65535) = 0
+                   OR ((xor(a.phash, b.phash) >> 32) & 65535) = 0
+                   OR ((xor(a.phash, b.phash) >> 48) & 65535) = 0)
+            ORDER BY 1, 2
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
