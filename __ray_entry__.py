@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_top_revenue_orders": q.q3_top_revenue_orders,
         "events_by_type": q.events_by_type,
         "events_windowed": q.events_windowed,
+        "events_sessionized": q.events_sessionized,
         "customers_per_region": q.customers_per_region,
         "filter_project_lineitem": q.filter_project_lineitem,
         "revenue_by_nation": q.revenue_by_nation,
@@ -314,6 +315,29 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS v_mil
             FROM events GROUP BY user_id, win
+        """,
+        "events_sessionized": """
+            WITH e AS (
+                SELECT user_id, event_id, epoch_us(ts) AS us,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                FROM events
+            ), s AS (
+                SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                                 OR us - lag(us) OVER w > 1800000000
+                               THEN 1 ELSE 0 END AS new_s
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+            ), g AS (
+                SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                                           ORDER BY us, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS sidx
+                FROM s
+            )
+            SELECT user_id, CAST(sidx AS BIGINT) AS session_idx,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(us) AS start_us, max(us) AS end_us,
+                   CAST(sum(v) AS BIGINT) AS sum_value_e2
+            FROM g GROUP BY user_id, sidx
+            ORDER BY user_id, session_idx
         """,
         "customers_per_region": """
             SELECT r_name, count(*) AS n_customers

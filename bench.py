@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "q3_top_revenue_orders",
     "events_by_type",
     "events_windowed",
+    "events_sessionized",
     "customers_per_region",
     "filter_project_lineitem",
     "revenue_by_nation",

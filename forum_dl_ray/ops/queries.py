@@ -215,6 +215,71 @@ def events_windowed(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
     return out.sort_values(["user_id", "win"]).reset_index(drop=True)
 
 
+def events_sessionized(sf_dir: str, gap_minutes: int = 30,
+                       n_buckets: int = 64) -> pd.DataFrame:
+    """Gap-based sessionization — the stateful streaming-window
+    operator Ray Data has no primitive for (SURVEY.md custom-operator
+    class (a): composition of map_batches + bucketed map_groups).
+
+    A session is a maximal run of one user's events where consecutive
+    gaps are <= gap_minutes (order: ts, then event_id tie-break). The
+    partitioning assumption is ONE co-location shuffle: user_id hashed
+    into ``n_buckets`` coarse partitions (all of a user's events land
+    in one pandas group; per-group work is vectorized cumsum, no
+    Python row loop). At skew (one user = whole partition) a bucket
+    is still bounded by that user's event count; salting would split
+    USERS, which this operator's semantics forbid — documented
+    tradeoff. Returns one row per session: (user_id, session_idx
+    1-based, n_events, start_us, end_us, sum_value_e2)."""
+    gap_us = gap_minutes * 60_000_000
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch["user_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        v = np.floor(batch["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {"user_id": pa.array(uid), "us": pa.array(us),
+             "event_id": pc.cast(batch["event_id"], pa.int64()),
+             "v_e2": pa.array(v),
+             "bucket": pa.array(uid & (n_buckets - 1))}
+        )
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in
+                                 ["user_id", "session_idx", "n_events",
+                                  "start_us", "end_us", "sum_value_e2"]})
+        g = g.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        us = g["us"].to_numpy()
+        new_user = np.empty(len(g), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.empty(len(g), dtype=bool)
+        gap[0] = True
+        gap[1:] = (us[1:] - us[:-1]) > gap_us
+        new_sess = new_user | gap
+        sess_global = np.cumsum(new_sess)  # distinct across users too
+        g = g.assign(_sg=sess_global)
+        out = g.groupby(["user_id", "_sg"], as_index=False, sort=True).agg(
+            n_events=("us", "size"), start_us=("us", "min"),
+            end_us=("us", "max"), sum_value_e2=("v_e2", "sum"))
+        # per-user 1-based session index from the global counter
+        out["session_idx"] = out.groupby("user_id").cumcount() + 1
+        return out[["user_id", "session_idx", "n_events", "start_us",
+                    "end_us", "sum_value_e2"]]
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow", runtime_env=_RENV, batch_size=65536)
+        .groupby("bucket")
+        .map_groups(sessionize, batch_format="pandas", runtime_env=_RENV)
+        .to_pandas()
+    )
+    out = out.astype({c: "int64" for c in out.columns})
+    return out.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+
+
 # ------------------------------------------------- dimension chain join
 def customers_per_region(sf_dir: str) -> pd.DataFrame:
     """customer ⋈ nation ⋈ region via broadcast dict lookups (all
