@@ -302,20 +302,131 @@ def minhash_clusters(sf_dir: str, **kw) -> rd.Dataset:
 
 
 # ---------------------------------------------------- n-gram Jaccard join
+def _ngram_pairs_direct(sf_dir: str, shingle: int, threshold_e4: int,
+                        df_ref) -> pd.DataFrame:
+    """Exact Jaccard join by inverted-index pair counting: emit
+    (doc, m, gram) rows for df>=2 grams only (singletons cannot
+    intersect; on natural corpora that drops MOST of the index), group
+    by coarse gram bucket, generate each gram's co-occurrence pairs
+    vectorized, then a second coarse-bucketed count-per-pair gives
+    |A∩B| directly — |A∪B| = m_a + m_b - inter with the full distinct
+    counts carried on the rows. No text, no shingle lists, and no
+    per-pair replication ever shuffle; total work is Σ_g df(g)² pair
+    rows (the caller switches to the prefix-filter path when the df
+    pass says that explodes)."""
+    def posting_stage(batch: pa.Table) -> pa.Table:
+        keys, vals = ray.get(df_ref)
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_doc, out_m, out_gram = [], [], []
+        for i, hashes in enumerate(token_hashes(texts, shingle=shingle)):
+            u = np.unique(hashes)
+            m = len(u)
+            ui = u.view(np.int64)
+            if len(keys):
+                pos = np.searchsorted(keys, ui)
+                pos[pos >= len(keys)] = len(keys) - 1
+                keep = keys[pos] == ui  # df >= 2 grams only
+                ui = ui[keep]
+            else:
+                ui = ui[:0]
+            out_doc.append(np.full(len(ui), ids[i], dtype=np.int64))
+            out_m.append(np.full(len(ui), m, dtype=np.int64))
+            out_gram.append(ui)
+        doc = np.concatenate(out_doc) if out_doc else np.empty(0, np.int64)
+        mm = np.concatenate(out_m) if out_m else np.empty(0, np.int64)
+        gr = np.concatenate(out_gram) if out_gram else np.empty(0, np.int64)
+        return pa.table({"doc_id": pa.array(doc), "m": pa.array(mm),
+                         "gram_hash": pa.array(gr),
+                         "bucket": pa.array(gr & 63)})
+
+    _MIX = np.int64(0x9E3779B9)
+
+    def gram_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c: pd.Series([], dtype="int64") for c in
+                              ["id_a", "id_b", "m_a", "m_b", "pbucket"]})
+        if not len(g):
+            return empty
+        g = g.sort_values(["gram_hash", "doc_id"], kind="mergesort")
+        gr = g["gram_hash"].to_numpy()
+        doc = g["doc_id"].to_numpy()
+        mm = g["m"].to_numpy()
+        _, starts, counts = np.unique(gr, return_index=True, return_counts=True)
+        a_idx, b_idx = [], []
+        for s, k in zip(starts, counts):
+            if k < 2:
+                continue
+            iu, ju = np.triu_indices(k, 1)
+            a_idx.append(s + iu)
+            b_idx.append(s + ju)
+        if not a_idx:
+            return empty
+        ai = np.concatenate(a_idx)
+        bi = np.concatenate(b_idx)
+        id_a, id_b = doc[ai], doc[bi]  # doc-sorted per gram => id_a < id_b
+        with np.errstate(over="ignore"):
+            pb = ((id_a * _MIX) ^ id_b) & 63
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b,
+                             "m_a": mm[ai], "m_b": mm[bi], "pbucket": pb})
+
+    def count_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in
+                                 ["id_a", "id_b", "jacc_e4"]})
+        agg = g.groupby(["id_a", "id_b"], as_index=False, sort=False).agg(
+            inter=("m_a", "size"), m_a=("m_a", "first"), m_b=("m_b", "first"))
+        union = agg["m_a"] + agg["m_b"] - agg["inter"]
+        agg["jacc_e4"] = (agg["inter"] * 10000) // union
+        out = agg.loc[agg["jacc_e4"] >= threshold_e4,
+                      ["id_a", "id_b", "jacc_e4"]]
+        return out.astype("int64")
+
+    out = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(posting_stage, batch_format="pyarrow", runtime_env=_RENV,
+                     batch_size=4096)
+        .groupby("bucket")
+        .map_groups(gram_pairs, batch_format="pandas", runtime_env=_RENV)
+        .groupby("pbucket")
+        .map_groups(count_pairs, batch_format="pandas", runtime_env=_RENV)
+        .to_pandas()
+    )
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def ngram_jaccard_pairs(sf_dir: str, shingle: int = 3,
-                        threshold_e4: int = 5000) -> pd.DataFrame:
-    """EXACT n-gram (word-shingle) Jaccard similarity join via prefix
-    filtering (the All-Pairs/PPJoin principle, Bayardo et al. WWW'07):
+                        threshold_e4: int = 5000,
+                        pair_budget: int = 20_000_000) -> pd.DataFrame:
+    """EXACT n-gram (word-shingle) Jaccard similarity join. Two
+    regimes share one df pass, chosen by the measured pair-row volume:
+
+    1. direct inverted-index pair counting
+       (:func:`_ngram_pairs_direct`) when Σ_g df(g)² is affordable —
+       the common case on natural corpora where most grams are
+       singletons (dropped outright) and the rest have small df;
+    2. prefix filtering (the All-Pairs/PPJoin principle, Bayardo et
+       al. WWW'07) when hot grams make Σdf² explode:
 
     each doc indexes only its first ``m - ceil(t*m) + 1`` distinct
-    shingle hashes under the global ascending-hash order (m = distinct
-    shingles, t = threshold). Any pair with J >= t shares >= ceil(t*m)
-    shingles, hence must collide on an indexed prefix hash — so the
-    candidate set is exact WITHOUT an all-pairs scan and without
-    inverting hot high-frequency shingles (they mostly fall outside
-    prefixes). Candidates then get exact distributed
-    intersection/union counts (:func:`_verify_pairs_counts`); text
-    bodies never shuffle and the corpus never lands on the driver.
+    shingle hashes under a GLOBAL total order (m = distinct shingles,
+    t = threshold). Any pair with J >= t shares >= ceil(t*m) shingles,
+    hence must collide on an indexed prefix hash — the candidate set
+    is exact WITHOUT an all-pairs scan for ANY consistent order, but
+    the order choice drives candidate volume: plain hash order puts
+    hot template shingles in prefixes and blew up to 568k candidates
+    on the sf0.1 corpus (150 s). The canonical All-Pairs order —
+    document frequency ascending, hash tie-break — puts each doc's
+    RAREST shingles in its prefix, collapsing candidates to
+    near-true-pairs (measured ~200x fewer). The df pass is one
+    coarse-bucketed shuffle of (gram) rows with vectorized counting;
+    only grams with df >= 2 enter the broadcast order map (singleton
+    grams can never generate a pair, so treating absent grams as
+    df=1 keeps the order globally consistent). At 100 TB the df>=2
+    map is bounded by *repeated* content — shard it (or fall back to
+    hash order per partition range) if it outgrows the object store.
+    Candidates then get exact distributed intersection/union counts
+    (:func:`_verify_pairs_counts`); text bodies never shuffle and the
+    corpus never lands on the driver.
 
     Returns (id_a, id_b, jacc_e4) with jacc_e4 = floor(1e4·|A∩B|/|A∪B|)
     — integer output so the driver's dtype-sensitive value hash can't
@@ -326,16 +437,64 @@ def ngram_jaccard_pairs(sf_dir: str, shingle: int = 3,
     """
     t = threshold_e4 / 10000.0
 
+    # ---- pass 1: document frequency per gram (coarse-bucketed count;
+    # a direct groupby(gram).count() is the high-cardinality Ray
+    # groupby CLAUDE.md warns about)
+    def distinct_grams(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        us = [np.unique(h) for h in token_hashes(texts, shingle=shingle)]
+        flat = np.concatenate(us) if us else np.empty(0, dtype=np.uint64)
+        g = flat.view(np.int64)
+        return pa.table({"gram_hash": pa.array(g, pa.int64()),
+                         "bucket": pa.array(g & 63, pa.int64())})
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        vals, counts = np.unique(g["gram_hash"].to_numpy(), return_counts=True)
+        keep = counts >= 2  # singleton grams can never pair
+        return pd.DataFrame({"gram_hash": pd.Series(vals[keep], dtype="int64"),
+                             "df": pd.Series(counts[keep], dtype="int64")})
+
+    df_tbl = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(distinct_grams, batch_format="pyarrow", runtime_env=_RENV,
+                     batch_size=4096)
+        .groupby("bucket")
+        .map_groups(count_bucket, batch_format="pandas", runtime_env=_RENV)
+        .to_pandas()  # df>=2 grams only: bounded by repeated content
+    )
+    order = np.argsort(df_tbl["gram_hash"].to_numpy(), kind="mergesort")
+    df_keys = df_tbl["gram_hash"].to_numpy()[order]
+    df_vals = df_tbl["df"].to_numpy()[order]
+    df_ref = ray.put((df_keys, df_vals))
+
+    # regime switch: Σ df(df-1)/2 is the exact pair-row volume of the
+    # direct inverted-index count join — take it whenever affordable
+    # (it skips candidate generation AND the verify shuffle entirely);
+    # fall through to prefix-filter + verify in the hot-gram regime
+    est_pairs = int(np.sum(df_vals * (df_vals - 1) // 2))
+    if est_pairs <= pair_budget:
+        return _ngram_pairs_direct(sf_dir, shingle, threshold_e4, df_ref)
+
+    # ---- pass 2: per-doc prefix under the (df asc, hash asc) order
     def prefix_stage(batch: pa.Table) -> pa.Table:
+        keys, vals = ray.get(df_ref)
         texts = batch["text"].to_pylist()
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         grams: list[np.ndarray] = []
         reps = np.empty(len(ids), dtype=np.int64)
         for i, hashes in enumerate(token_hashes(texts, shingle=shingle)):
-            u = np.unique(hashes)  # sorted ascending = the global order
+            u = np.unique(hashes)
             m = len(u)
             p = m - int(np.ceil(t * m)) + 1
-            grams.append(u[:p])
+            ui = u.view(np.int64)
+            if len(keys):
+                pos = np.searchsorted(keys, ui)
+                pos[pos >= len(keys)] = len(keys) - 1
+                df = np.where(keys[pos] == ui, vals[pos], 1)
+            else:
+                df = np.ones(m, dtype=np.int64)
+            sel = np.lexsort((u, df))[:p]  # df asc, hash asc tie-break
+            grams.append(u[sel])
             reps[i] = p
         flat = (np.concatenate(grams) if grams else np.empty(0, dtype=np.uint64))
         return pa.table(

@@ -280,6 +280,64 @@ def events_sessionized(sf_dir: str, gap_minutes: int = 30,
     return out.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
 
 
+def events_asof_purchase(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
+    """As-of join — each event picks up the user's most recent STRICTLY
+    PRIOR purchase (order: ts, event_id). Ray Data has no as-of/range
+    join primitive; this is the custom-operator composition (SURVEY.md
+    class (a)): ONE user-hash co-location shuffle into coarse buckets,
+    then a vectorized shift+ffill inside each pandas group — the same
+    partitioning contract as :func:`events_sessionized` (probe and
+    build sides share the user_id key, so at two-table scale both
+    sides hash into the SAME buckets and the merge is bucket-local).
+    Returns (event_id, user_id, us, last_purchase_us,
+    last_purchase_value_e2) with -1 for "no prior purchase"."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch["user_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        v = np.floor(batch["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        is_p = pc.equal(batch["event_type"], "purchase").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"event_id": pc.cast(batch["event_id"], pa.int64()),
+             "user_id": pa.array(uid), "us": pa.array(us),
+             "v_e2": pa.array(v), "is_purchase": pa.array(is_p),
+             "bucket": pa.array(uid & (n_buckets - 1))}
+        )
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in
+                                 ["event_id", "user_id", "us",
+                                  "last_purchase_us", "last_purchase_value_e2"]})
+        g = g.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        pu = g["us"].where(g["is_purchase"])
+        pv = g["v_e2"].where(g["is_purchase"])
+        grp = g.groupby("user_id", sort=False)
+        lp_us = pu.groupby(g["user_id"], sort=False).shift(1)
+        lp_v = pv.groupby(g["user_id"], sort=False).shift(1)
+        # NOTE: shift BEFORE ffill = strictly-prior semantics
+        lp_us = lp_us.groupby(g["user_id"], sort=False).ffill()
+        lp_v = lp_v.groupby(g["user_id"], sort=False).ffill()
+        del grp
+        out = pd.DataFrame({
+            "event_id": g["event_id"].astype("int64"),
+            "user_id": g["user_id"].astype("int64"),
+            "us": g["us"].astype("int64"),
+            "last_purchase_us": lp_us.fillna(-1).astype("int64"),
+            "last_purchase_value_e2": lp_v.fillna(-1).astype("int64"),
+        })
+        return out
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow", runtime_env=_RENV, batch_size=65536)
+        .groupby("bucket")
+        .map_groups(asof, batch_format="pandas", runtime_env=_RENV)
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 # ------------------------------------------------- dimension chain join
 def customers_per_region(sf_dir: str) -> pd.DataFrame:
     """customer ⋈ nation ⋈ region via broadcast dict lookups (all

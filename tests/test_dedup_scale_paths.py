@@ -24,6 +24,11 @@ def test_ngram_prefix_filter_complete(ray_session):
     from forum_dl_ray.ops.text import token_hashes
 
     got = dedup.ngram_jaccard_pairs(SF_DIR, shingle=3, threshold_e4=5000)
+    # the prefix-filter (hot-gram) regime must agree with the direct
+    # count-join regime pair-for-pair
+    via_prefix = dedup.ngram_jaccard_pairs(SF_DIR, shingle=3, threshold_e4=5000,
+                                           pair_budget=0)
+    assert got.equals(via_prefix)
 
     tbl = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
                         columns=["doc_id", "text"])
