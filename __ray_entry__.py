@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": q.events_by_type,
         "events_windowed": q.events_windowed,
         "events_sessionized": q.events_sessionized,
+        "events_asof_purchase": q.events_asof_purchase,
         "customers_per_region": q.customers_per_region,
         "filter_project_lineitem": q.filter_project_lineitem,
         "revenue_by_nation": q.revenue_by_nation,
@@ -338,6 +339,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(v) AS BIGINT) AS sum_value_e2
             FROM g GROUP BY user_id, sidx
             ORDER BY user_id, session_idx
+        """,
+        "events_asof_purchase": """
+            WITH e AS (
+                SELECT event_id, user_id, epoch_us(ts) AS us, event_type,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                FROM events
+            ), s AS (
+                SELECT event_id, user_id, us,
+                       last_value(CASE WHEN event_type = 'purchase' THEN us END
+                                  IGNORE NULLS) OVER w AS lp_us,
+                       last_value(CASE WHEN event_type = 'purchase' THEN v END
+                                  IGNORE NULLS) OVER w AS lp_v
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING)
+            )
+            SELECT event_id, user_id, us,
+                   CAST(coalesce(lp_us, -1) AS BIGINT) AS last_purchase_us,
+                   CAST(coalesce(lp_v, -1) AS BIGINT) AS last_purchase_value_e2
+            FROM s ORDER BY event_id
         """,
         "customers_per_region": """
             SELECT r_name, count(*) AS n_customers

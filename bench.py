@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "events_by_type",
     "events_windowed",
     "events_sessionized",
+    "events_asof_purchase",
     "customers_per_region",
     "filter_project_lineitem",
     "revenue_by_nation",
