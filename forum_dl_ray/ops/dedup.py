@@ -302,44 +302,38 @@ def minhash_clusters(sf_dir: str, **kw) -> rd.Dataset:
 
 
 # ---------------------------------------------------- n-gram Jaccard join
-def _ngram_pairs_direct(sf_dir: str, shingle: int, threshold_e4: int,
-                        df_ref) -> pd.DataFrame:
-    """Exact Jaccard join by inverted-index pair counting: emit
-    (doc, m, gram) rows for df>=2 grams only (singletons cannot
-    intersect; on natural corpora that drops MOST of the index), group
-    by coarse gram bucket, generate each gram's co-occurrence pairs
-    vectorized, then a second coarse-bucketed count-per-pair gives
-    |A∩B| directly — |A∪B| = m_a + m_b - inter with the full distinct
-    counts carried on the rows. No text, no shingle lists, and no
-    per-pair replication ever shuffle; total work is Σ_g df(g)² pair
-    rows (the caller switches to the prefix-filter path when the df
-    pass says that explodes)."""
+def _ngram_postings(sf_dir: str, shingle: int) -> rd.Dataset:
+    """ONE shingle pass over the corpus → materialized postings
+    (doc_id, m, gram_hash, bucket), m = the doc's distinct-gram count
+    (needed for |A∪B|). Materialized because both the df pass and the
+    pair join consume it — text is read and shingled exactly once."""
     def posting_stage(batch: pa.Table) -> pa.Table:
-        keys, vals = ray.get(df_ref)
         texts = batch["text"].to_pylist()
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        out_doc, out_m, out_gram = [], [], []
-        for i, hashes in enumerate(token_hashes(texts, shingle=shingle)):
-            u = np.unique(hashes)
-            m = len(u)
-            ui = u.view(np.int64)
-            if len(keys):
-                pos = np.searchsorted(keys, ui)
-                pos[pos >= len(keys)] = len(keys) - 1
-                keep = keys[pos] == ui  # df >= 2 grams only
-                ui = ui[keep]
-            else:
-                ui = ui[:0]
-            out_doc.append(np.full(len(ui), ids[i], dtype=np.int64))
-            out_m.append(np.full(len(ui), m, dtype=np.int64))
-            out_gram.append(ui)
-        doc = np.concatenate(out_doc) if out_doc else np.empty(0, np.int64)
-        mm = np.concatenate(out_m) if out_m else np.empty(0, np.int64)
-        gr = np.concatenate(out_gram) if out_gram else np.empty(0, np.int64)
-        return pa.table({"doc_id": pa.array(doc), "m": pa.array(mm),
+        us = [np.unique(h) for h in token_hashes(texts, shingle=shingle)]
+        reps = np.fromiter((len(u) for u in us), dtype=np.int64, count=len(us))
+        gr = (np.concatenate(us).view(np.int64) if us
+              else np.empty(0, np.int64))
+        return pa.table({"doc_id": pa.array(np.repeat(ids, reps)),
+                         "m": pa.array(np.repeat(reps, reps)),
                          "gram_hash": pa.array(gr),
                          "bucket": pa.array(gr & 63)})
 
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        posting_stage, batch_format="pyarrow", runtime_env=_RENV, batch_size=4096
+    ).materialize()
+
+
+def _ngram_pairs_direct(postings: rd.Dataset, threshold_e4: int) -> pd.DataFrame:
+    """Exact Jaccard join by inverted-index pair counting over the
+    materialized postings: group by coarse gram bucket, generate each
+    gram's co-occurrence pairs vectorized (singleton grams skip — they
+    cannot intersect), then a second coarse-bucketed count-per-pair
+    gives |A∩B| directly — |A∪B| = m_a + m_b - inter with the full
+    distinct counts carried on the rows. No text, no shingle lists,
+    and no per-pair replication ever shuffle; total work is Σ_g df(g)²
+    pair rows (the caller switches to the prefix-filter path when the
+    df pass says that explodes)."""
     _MIX = np.int64(0x9E3779B9)
 
     def gram_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -382,9 +376,7 @@ def _ngram_pairs_direct(sf_dir: str, shingle: int, threshold_e4: int,
         return out.astype("int64")
 
     out = (
-        _read_docs(sf_dir, ["doc_id", "text"])
-        .map_batches(posting_stage, batch_format="pyarrow", runtime_env=_RENV,
-                     batch_size=4096)
+        postings
         .groupby("bucket")
         .map_groups(gram_pairs, batch_format="pandas", runtime_env=_RENV)
         .groupby("pbucket")
@@ -437,16 +429,11 @@ def ngram_jaccard_pairs(sf_dir: str, shingle: int = 3,
     """
     t = threshold_e4 / 10000.0
 
-    # ---- pass 1: document frequency per gram (coarse-bucketed count;
-    # a direct groupby(gram).count() is the high-cardinality Ray
-    # groupby CLAUDE.md warns about)
-    def distinct_grams(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        us = [np.unique(h) for h in token_hashes(texts, shingle=shingle)]
-        flat = np.concatenate(us) if us else np.empty(0, dtype=np.uint64)
-        g = flat.view(np.int64)
-        return pa.table({"gram_hash": pa.array(g, pa.int64()),
-                         "bucket": pa.array(g & 63, pa.int64())})
+    # ---- pass 1: postings (one shingle pass, materialized — both the
+    # df count and the direct pair join consume it), then df per gram
+    # via a coarse-bucketed count (a direct groupby(gram).count() is
+    # the high-cardinality Ray groupby CLAUDE.md warns about)
+    postings = _ngram_postings(sf_dir, shingle)
 
     def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
         vals, counts = np.unique(g["gram_hash"].to_numpy(), return_counts=True)
@@ -455,9 +442,7 @@ def ngram_jaccard_pairs(sf_dir: str, shingle: int = 3,
                              "df": pd.Series(counts[keep], dtype="int64")})
 
     df_tbl = (
-        _read_docs(sf_dir, ["text"])
-        .map_batches(distinct_grams, batch_format="pyarrow", runtime_env=_RENV,
-                     batch_size=4096)
+        postings.select_columns(["gram_hash", "bucket"])
         .groupby("bucket")
         .map_groups(count_bucket, batch_format="pandas", runtime_env=_RENV)
         .to_pandas()  # df>=2 grams only: bounded by repeated content
@@ -465,7 +450,6 @@ def ngram_jaccard_pairs(sf_dir: str, shingle: int = 3,
     order = np.argsort(df_tbl["gram_hash"].to_numpy(), kind="mergesort")
     df_keys = df_tbl["gram_hash"].to_numpy()[order]
     df_vals = df_tbl["df"].to_numpy()[order]
-    df_ref = ray.put((df_keys, df_vals))
 
     # regime switch: Σ df(df-1)/2 is the exact pair-row volume of the
     # direct inverted-index count join — take it whenever affordable
@@ -473,7 +457,8 @@ def ngram_jaccard_pairs(sf_dir: str, shingle: int = 3,
     # fall through to prefix-filter + verify in the hot-gram regime
     est_pairs = int(np.sum(df_vals * (df_vals - 1) // 2))
     if est_pairs <= pair_budget:
-        return _ngram_pairs_direct(sf_dir, shingle, threshold_e4, df_ref)
+        return _ngram_pairs_direct(postings, threshold_e4)
+    df_ref = ray.put((df_keys, df_vals))
 
     # ---- pass 2: per-doc prefix under the (df asc, hash asc) order
     def prefix_stage(batch: pa.Table) -> pa.Table:
