@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": q.quality_filter,
         "corpus_clean": q.corpus_clean,
         "top_docs_by_len": q.top_docs_by_len,
+        "vocab_topk": q.vocab_topk,
+        "sample_stratified": q.sample_stratified,
         # --- text analysis ---
         "token_counts": text.token_counts,
         "text_stats": text.text_stats,
@@ -467,6 +469,23 @@ def oracle_sql() -> dict[str, str]:
         "top_docs_by_len": """
             SELECT doc_id, length(text) AS n_chars_m FROM documents
             ORDER BY n_chars_m DESC, doc_id LIMIT 20
+        """,
+        "vocab_topk": rf"""
+            WITH toks AS (
+                SELECT unnest({tok_list}) AS token FROM documents
+            )
+            SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks
+            WHERE token != ''
+            GROUP BY token ORDER BY n DESC, token LIMIT 50
+        """,
+        "sample_stratified": f"""
+            WITH lang AS ({_lang_id_sql()})
+            SELECT d.doc_id, lang.lang_pred,
+                   CAST((d.doc_id * 1103515245 + 12345) % 2147483648 % 1000
+                        AS BIGINT) AS bucket_pm
+            FROM documents d JOIN lang ON lang.doc_id = d.doc_id
+            WHERE (d.doc_id * 1103515245 + 12345) % 2147483648 % 1000 < 200
+            ORDER BY d.doc_id
         """,
         "corpus_clean": f"""
             WITH k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),

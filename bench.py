@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "revenue_by_nation",
     "quality_filter",
     "top_docs_by_len",
+    "vocab_topk",
+    "sample_stratified",
     "token_counts",
     "text_stats",
     "lang_id",

@@ -471,6 +471,90 @@ def top_docs_by_len(sf_dir: str, k: int = 20) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def vocab_topk(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Corpus vocabulary top-k by occurrence count — the combiner
+    pattern end-to-end: each batch pre-aggregates its own token counts
+    (vocabulary ≪ token occurrences, so partials are tiny), the
+    shuffle moves only (token, partial_count) rows hashed into coarse
+    buckets, and the global top-k is a driver-side sort of the
+    per-bucket survivors. Whitespace tokens (the shingle/token_hashes
+    tokenizer) — ties broken token-ascending. At 100 TB the partial
+    tables stay bounded by vocabulary size per batch; hot tokens are
+    pre-summed before they ever shuffle."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.cast(batch["text"], pa.large_string())),
+            r"\s+",
+        ).combine_chunks().flatten()
+        vals, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        # drop the empty token an all-whitespace doc yields
+        keep = vals != ""
+        vals, counts = vals[keep], counts[keep]
+        import hashlib
+
+        # deterministic cross-process bucket hash (Python's hash() is
+        # per-process salted: the same token would split across buckets
+        # and every bucket would undercount it)
+        h = np.fromiter(
+            (hashlib.blake2b(v.encode(), digest_size=1).digest()[0] & 63
+             for v in vals),
+            dtype=np.int64, count=len(vals),
+        ) if len(vals) else np.empty(0, np.int64)
+        return pa.table({"token": pa.array(list(vals), pa.string()),
+                         "n": pa.array(counts, pa.int64()),
+                         "bucket": pa.array(h)})
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("token", as_index=False)["n"].sum()
+        agg = agg.sort_values(["n", "token"], ascending=[False, True]).head(k)
+        return agg[["token", "n"]]
+
+    out = (
+        ds.map_batches(partial_counts, batch_format="pyarrow", runtime_env=_RENV,
+                       batch_size=8192)
+        .groupby("bucket")
+        .map_groups(bucket_topk, batch_format="pandas", runtime_env=_RENV)
+        .to_pandas()  # <= 64*k survivor rows
+    )
+    out = out.sort_values(["n", "token"], ascending=[False, True]).head(k)
+    return out.astype({"n": "int64"}).reset_index(drop=True)
+
+
+def sample_stratified(sf_dir: str, pct: int = 20) -> pd.DataFrame:
+    """Deterministic stratified corpus sample: keep ~pct% of documents
+    per language stratum via a seeded LCG hash of doc_id — the
+    domain-balancing / decontamination sampler a training pipeline
+    runs before mixing. Pure map-side (NO shuffle at all: the hash is
+    derivable per row), exactly reproducible across machines, and
+    SQL-expressible so the driver oracle pins it. Returns (doc_id,
+    lang_pred, bucket_pm) where bucket_pm is the per-mille hash slot
+    kept (< pct*10)."""
+    from .text import LangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    lang_stage = LangId()
+
+    def f(batch: pa.Table) -> pa.Table:
+        lang = lang_stage(batch)  # (doc_id, lang_pred, lang_score)
+        ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        # 31-bit LCG stays exact in both int64 numpy and DuckDB BIGINT
+        slot = ((ids * 1103515245 + 12345) % 2147483648) % 1000
+        keep = slot < pct * 10
+        return pa.table(
+            {
+                "doc_id": lang["doc_id"].filter(pa.array(keep)),
+                "lang_pred": lang["lang_pred"].filter(pa.array(keep)),
+                "bucket_pm": pa.array(slot[keep], pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(f, batch_format="pyarrow", runtime_env=_RENV,
+                         batch_size=8192).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ------------------------------------- dimension-chain join over fact table
 def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     """Revenue per customer nation: broadcast a SORTED (o_orderkey ->
