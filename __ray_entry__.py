@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_by_len": q.top_docs_by_len,
         "vocab_topk": q.vocab_topk,
         "sample_stratified": q.sample_stratified,
+        "pack_sequences": q.pack_sequences,
         # --- text analysis ---
         "token_counts": text.token_counts,
         "text_stats": text.text_stats,

@@ -133,20 +133,31 @@ def _lsh_candidate_pairs(band_ds: rd.Dataset, keys: list[str], n_buckets: int = 
         return batch.append_column("bucket", b)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64")})
         dup = g[g.duplicated(subset=keys, keep=False)]
         if not len(dup):
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64")})
-        out_a: list[int] = []
-        out_b: list[int] = []
-        for _, grp in dup.groupby(keys, sort=False):
-            ids = sorted(set(grp["doc_id"]))
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-        return pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
-                             "id_b": pd.Series(out_b, dtype="int64")})
+            return empty
+        # vectorized pair extraction: sort by (key, doc), then per-key
+        # triu index blocks — no nested Python pairing loops
+        dup = dup.drop_duplicates(subset=keys + ["doc_id"])
+        dup = dup.sort_values(keys + ["doc_id"], kind="mergesort")
+        doc = dup["doc_id"].to_numpy()
+        sizes = dup.groupby(keys, sort=False).size().to_numpy()
+        starts = np.concatenate([[0], np.cumsum(sizes[:-1])])
+        a_idx, b_idx = [], []
+        for s, k in zip(starts, sizes):
+            if k < 2:
+                continue
+            iu, ju = np.triu_indices(k, 1)
+            a_idx.append(s + iu)
+            b_idx.append(s + ju)
+        if not a_idx:
+            return empty
+        ai = np.concatenate(a_idx)
+        bi = np.concatenate(b_idx)
+        return pd.DataFrame({"id_a": pd.Series(doc[ai], dtype="int64"),
+                             "id_b": pd.Series(doc[bi], dtype="int64")})
 
     return (
         band_ds.map_batches(coarse, batch_format="pyarrow", runtime_env=_RENV, batch_size=65536)
@@ -516,20 +527,17 @@ def simhash_dedup_pairs(sf_dir: str, max_hamming: int = 8) -> pd.DataFrame:
     sh = simhashes(sf_dir)
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        hs = batch["simhash"].to_pylist()
-        out_id, out_band, out_key = [], [], []
-        for d, h in zip(ids, hs):
-            u = h & ((1 << 64) - 1)
-            for band in range(4):
-                out_id.append(d)
-                out_band.append(band)
-                out_key.append((u >> (band * 16)) & 0xFFFF)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hs = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        n = len(ids)
+        keys = np.empty((n, 4), dtype=np.int64)
+        for band in range(4):  # 4 fixed shifts, each fully vectorized
+            keys[:, band] = ((hs >> np.uint64(band * 16)) & np.uint64(0xFFFF)).astype(np.int64)
         return pa.table(
             {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "band_id": pa.array(out_band, pa.int32()),
-                "band_key": pa.array(out_key, pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
+                "band_id": pa.array(np.tile(np.arange(4, dtype=np.int32), n), pa.int32()),
+                "band_key": pa.array(keys.ravel(), pa.int64()),
             }
         )
 

@@ -555,6 +555,68 @@ def sample_stratified(sf_dir: str, pct: int = 20) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def pack_sequences(sf_dir: str, budget: int = 512,
+                   range_size: int = 1024) -> pd.DataFrame:
+    """Greedy sequence packing for LLM pre-training batches: walk
+    documents in doc_id order, accumulate whitespace-token counts
+    until the next doc would overflow ``budget``, then open a new
+    pack; a doc longer than the budget gets a pack of its own (docs
+    never split). Packing is inherently sequential, so the scale
+    decomposition is doc_id RANGE partitions (key = doc_id //
+    range_size — deterministic and derivable per row, so the only
+    shuffle is the coarse range groupby): each range packs greedily
+    and independently, and pack ids are ``range_id * 2^20 + local``
+    — globally unique with zero coordination, reproducible on any
+    cluster shape. The cost is at most one under-filled pack per
+    range boundary, the standard trade against a fully sequential
+    global pass. Returns (doc_id, pack_id, n_tokens, pack_pos);
+    rows-only (sequential greedy state isn't SQL-expressible).
+    """
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tokens_and_range(batch: pa.Table) -> pa.Table:
+        n_tok = pc.count_substring_regex(batch["text"], pattern=r"\S+")
+        ids = pc.cast(batch["doc_id"], pa.int64())
+        return pa.table(
+            {"doc_id": ids,
+             "n_tokens": pc.cast(n_tok, pa.int64()),
+             "range_id": pc.divide(ids, pa.scalar(range_size, pa.int64()))}
+        )
+
+    def pack_range(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        rng = int(g["range_id"].iloc[0])
+        toks = g["n_tokens"].to_numpy()
+        pack_local = np.empty(len(g), dtype=np.int64)
+        pack_pos = np.empty(len(g), dtype=np.int64)
+        cur, fill, pos = 0, 0, 0
+        for i, t in enumerate(toks):  # sequential by definition;
+            # bounded by range_size rows per group
+            if fill > 0 and fill + t > budget:
+                cur += 1
+                fill, pos = 0, 0
+            pack_local[i] = cur
+            pack_pos[i] = pos
+            fill += t
+            pos += 1
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64"),
+            "pack_id": (rng << 20) + pack_local,
+            "n_tokens": g["n_tokens"].astype("int64"),
+            "pack_pos": pack_pos,
+        })
+
+    out = (
+        ds.map_batches(tokens_and_range, batch_format="pyarrow", runtime_env=_RENV,
+                       batch_size=65536)
+        .groupby("range_id")
+        .map_groups(pack_range, batch_format="pandas", runtime_env=_RENV)
+        .to_pandas()
+    )
+    out = out.astype({c: "int64" for c in out.columns})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ------------------------------------- dimension-chain join over fact table
 def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     """Revenue per customer nation: broadcast a SORTED (o_orderkey ->
