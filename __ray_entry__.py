@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup_pairs": dedup.simhash_dedup_pairs,
         "embedding_dedup_pairs": dedup.embedding_dedup_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "decontaminate_hits": dedup.decontaminate_hits,
         # low-sim LSH regime: the synthetic corpus has no pairs above
         # cos ~0.6 (see the op docstring for the parameter math)
         "embedding_dedup_pairs_lsh": lambda sf: dedup.embedding_dedup_pairs_lsh(
@@ -542,6 +543,30 @@ def oracle_sql() -> dict[str, str]:
             FROM p JOIN n na ON na.doc_id = p.id_a JOIN n nb ON nb.doc_id = p.id_b
             WHERE (p.inter * 10000) // (na.m + nb.m - p.inter) >= 5000
             ORDER BY 1, 2
+        """,
+        "decontaminate_hits": r"""
+            WITH tk AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents
+            ), d AS (
+                SELECT doc_id, list_distinct(
+                    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                         ELSE list_transform(generate_series(1, len(toks) - 2),
+                                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    END) AS sh
+                FROM tk
+            ), top5 AS (
+                SELECT doc_id FROM documents
+                ORDER BY length(text) DESC, doc_id LIMIT 5
+            ), cont AS (
+                SELECT DISTINCT unnest(sh) AS g
+                FROM d JOIN top5 USING (doc_id)
+            ), s AS (
+                SELECT doc_id, unnest(sh) AS g FROM d
+                WHERE doc_id NOT IN (SELECT doc_id FROM top5)
+            )
+            SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+            FROM s JOIN cont ON s.g = cont.g
+            GROUP BY s.doc_id ORDER BY s.doc_id
         """,
         "embedding_dedup_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

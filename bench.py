@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "minhash_clusters",
     "simhash_dedup_pairs",
     "ngram_jaccard_pairs",
+    "decontaminate_hits",
     "embedding_dedup_pairs",
     "ann_brute_topk",
     "ann_ivf_topk",

@@ -517,6 +517,67 @@ def ngram_jaccard_pairs(sf_dir: str, shingle: int = 3,
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+# ---------------------------------------------------- decontamination scan
+def decontaminate_hits(sf_dir: str, shingle: int = 3, k_sources: int = 5) -> pd.DataFrame:
+    """Benchmark-decontamination scan: count, per corpus document, the
+    distinct shingles it shares with a HELD-OUT set (here the
+    ``k_sources`` longest documents stand in for an eval benchmark —
+    deterministic and derivable from the table alone). The held-out
+    side is tiny by definition, so this is the broadcast pattern:
+    fetch only the source docs via a pushed-down row filter, build
+    their gram-hash set once on the driver, ``ray.put`` it, and scan
+    the corpus in ONE map_batches with vectorized searchsorted
+    membership — no shuffle at all. Returns (doc_id, n_hit) for
+    contaminated non-source docs. At 100 TB the benchmark set is still
+    KBs — the broadcast never grows with the corpus."""
+    import pyarrow.compute as _pc
+
+    # source doc ids: tiny combiner top-k by (len desc, doc_id asc)
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        n = pc.cast(pc.utf8_length(batch["text"]), pa.int64())
+        t = pa.table({"doc_id": pc.cast(batch["doc_id"], pa.int64()), "n": n})
+        order = pc.sort_indices(t, sort_keys=[("n", "descending"), ("doc_id", "ascending")])
+        return t.take(order[:k_sources])
+
+    tops = ds.map_batches(local_topk, batch_format="pyarrow", runtime_env=_RENV,
+                          batch_size=8192).to_pandas()
+    tops = tops.sort_values(["n", "doc_id"], ascending=[False, True]).head(k_sources)
+    src_ids = sorted(int(d) for d in tops["doc_id"])
+
+    src = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"],
+        filter=_pc.field("doc_id").isin(src_ids),
+    ).to_pandas()  # k_sources rows
+    cont = np.unique(np.concatenate(
+        token_hashes(src["text"].tolist(), shingle=shingle)))
+    cont_ref = ray.put(cont)
+    src_set = set(src_ids)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        grams = ray.get(cont_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        out_id, out_hit = [], []
+        for i, hashes in enumerate(token_hashes(texts, shingle=shingle)):
+            if int(ids[i]) in src_set:
+                continue
+            u = np.unique(hashes)
+            pos = np.searchsorted(grams, u)
+            pos[pos >= len(grams)] = len(grams) - 1
+            n_hit = int(np.count_nonzero(grams[pos] == u))
+            if n_hit:
+                out_id.append(int(ids[i]))
+                out_hit.append(n_hit)
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "n_hit": pa.array(out_hit, pa.int64())})
+
+    out = ds.map_batches(scan, batch_format="pyarrow", runtime_env=_RENV,
+                         batch_size=4096).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ------------------------------------------------------------ simhash dedup
 def simhash_dedup_pairs(sf_dir: str, max_hamming: int = 8) -> pd.DataFrame:
     """SimHash banding: 4x16-bit chunks as bucket keys (any pair within
