@@ -20,7 +20,7 @@ Nothing here calls ``ray.init()``/``ray.shutdown()`` — session
 ownership belongs to the caller (driver, bench.py, test fixture).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 import os as _os
 

@@ -48,6 +48,30 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--list-extractors", action="store_true")
     p.add_argument("--list-output-formats", action="store_true")
     p.add_argument("--num-shards", type=int, default=4)
+    # session options (reference options.py:41-77)
+    p.add_argument("--timeout", type=float, default=5.0,
+                   help="HTTP timeout seconds (honored by the HTTP seam)")
+    p.add_argument("--retries", type=int, default=3,
+                   help="in-stage transient-retry budget")
+    p.add_argument("--retry-sleep", type=float, default=0.0,
+                   help="base backoff seconds between retries")
+    p.add_argument("--retry-sleep-multiplier", type=float, default=2.0,
+                   help="backoff growth factor")
+    p.add_argument("--user-agent", default="",
+                   help="user-agent string for the HTTP seam")
+    # extra sinks (reference options.py:104-127)
+    p.add_argument("--warc-output", default="",
+                   help="also write per-fetch lineage rows (S5) to this dir")
+    p.add_argument("--files-output", default="",
+                   help="also write the image payload table to this dir")
+    p.add_argument("-q", "--quiet", action="store_true",
+                   help="suppress the stats JSON on stdout")
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="keep Ray INFO logging instead of ERROR-only")
+    from . import __version__
+
+    p.add_argument("--version", action="version",
+                   version=f"forum-dl-ray {__version__}")
     args = p.parse_args(argv)
 
     from . import api
@@ -63,7 +87,8 @@ def main(argv: list[str] | None = None) -> int:
 
     owns_session = not ray.is_initialized()
     if owns_session:
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="INFO" if args.verbose else "ERROR")
     try:
         host_rates = {}
         for spec in args.host_rate:
@@ -86,9 +111,17 @@ def main(argv: list[str] | None = None) -> int:
                 write_posts=args.posts,
                 write_files=args.files,
                 write_outside_files=args.outside_files,
+                retries=args.retries,
+                retry_sleep=args.retry_sleep,
+                retry_sleep_multiplier=args.retry_sleep_multiplier,
+                timeout=args.timeout,
+                user_agent=args.user_agent,
+                warc_output=args.warc_output,
+                files_output=args.files_output,
             ),
         )
-        print(json.dumps(stats, indent=1))
+        if not args.quiet:
+            print(json.dumps(stats, indent=1))
         return 0
     finally:
         if owns_session:  # never tear down a caller-owned session

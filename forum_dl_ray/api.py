@@ -46,6 +46,19 @@ class DownloadOptions:
     write_posts: bool = True
     write_files: bool = True
     write_outside_files: bool = False
+    # session options (reference options.py:41-77): retry budget,
+    # backoff, timeout and UA flow into the fetch stage / HTTP seam
+    retries: int = 3
+    retry_sleep: float = 0.0
+    retry_sleep_multiplier: float = 2.0
+    timeout: float = 5.0
+    user_agent: str = ""
+    # extra sinks (reference --warc-output / --files-output): lineage
+    # capture (the reference's WARC writer is itself a no-op shell —
+    # lineage rows are this engine's S5 equivalent) and a separate
+    # payload-table destination
+    warc_output: str = ""
+    files_output: str = ""
 
 
 def filter_entry_kinds(ds, opts: "DownloadOptions"):
@@ -142,9 +155,27 @@ def download(
         host_rates=dict(opts.host_rates),
         robots=dict(opts.robots),
         fetch_assets=not (opts.get_urls or output_format == "urls"),
+        retries=opts.retries,
+        backoff_base=opts.retry_sleep,
+        backoff_multiplier=opts.retry_sleep_multiplier,
+        timeout_s=opts.timeout,
+        user_agent=opts.user_agent,
     )
     crawl_dir = os.path.join(out_dir, "crawl")
     stats = Crawler(pages_source, crawl_dir, cfg, seeds=seeds).run()
+
+    if opts.warc_output:
+        # S5 lineage capture to a caller-chosen path (reference
+        # --warc-output; its WARC writer never records bodies either —
+        # writers/common.py WARC shell)
+        lineage = entries_dataset(crawl_dir).filter(expr="type == 'lineage'")
+        lineage.write_parquet(opts.warc_output)
+        stats["warc"] = {"path": opts.warc_output}
+    if opts.files_output and cfg.fetch_assets:
+        from .crawl.crawler import images_dataset
+
+        images_dataset(crawl_dir).write_parquet(opts.files_output)
+        stats["files_output"] = {"path": opts.files_output}
 
     if output_format == "urls" or opts.get_urls:
         import pyarrow.parquet as pq

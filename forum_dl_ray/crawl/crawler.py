@@ -74,7 +74,14 @@ class CrawlConfig:
     checkpoint_every: int = 0      # waves; 0 = disabled
     flaky_rate: float = 0.0
     retries: int = 3               # in-stage transient-retry budget
-    backoff_base: float = 0.0      # secs; base*2^attempt between retries
+    backoff_base: float = 0.0      # secs; base*mult^attempt between retries
+    backoff_multiplier: float = 2.0  # reference --retry-sleep-multiplier
+    timeout_s: float = 5.0         # per-request timeout for the HTTP seam
+                                   # (reference --timeout; the parquet page
+                                   # store answers instantly, a real fetcher
+                                   # behind get_store honors it)
+    user_agent: str = ""           # reference --user-agent; carried to the
+                                   # HTTP seam (no header leaves this sandbox)
     max_waves: int = 100_000
     capacity_per_shard: int = 1_000_000
     fetch_assets: bool = True      # False = --get-urls style dry run:
@@ -165,6 +172,7 @@ class Crawler:
             fetch_batch, pages_path=store_ref, frontier=frontier,
             flaky_rate=cfg.flaky_rate, retries=cfg.retries,
             backoff_base=cfg.backoff_base,
+            backoff_multiplier=cfg.backoff_multiplier,
         )
 
         def run_pages(pages_t, w: int) -> None:

@@ -159,6 +159,7 @@ def fetch_batch(
     flaky_rate: float = 0.0,
     retries: int = 3,
     backoff_base: float = 0.0,
+    backoff_multiplier: float = 2.0,
 ) -> pa.Table:
     """Frontier-entry batch → fetched batch (+ body/status/content_type,
     sha1/n_bytes lineage fields, n_attempts). Transient failures are
@@ -206,7 +207,7 @@ def fetch_batch(
             if backoff_base > 0.0:
                 import time
 
-                time.sleep(backoff_base * (2 ** (attempt - 1)))
+                time.sleep(backoff_base * (backoff_multiplier ** (attempt - 1)))
         attempts_out.append(attempt)
         if status != 200:
             bodies.append(b"")

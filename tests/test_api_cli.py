@@ -185,3 +185,48 @@ def test_item_kind_flags_cli(fixture_dir, tmp_path):
         lines += open(p).read().splitlines()
     types = {_json.loads(ln)["type"] for ln in lines}
     assert "post" not in types and "file" not in types and "board" in types
+
+
+def test_cli_version_and_session_flags(fixture_dir, tmp_path, capsys):
+    from forum_dl_ray import __main__ as cli
+    from forum_dl_ray import __version__
+
+    with pytest.raises(SystemExit) as e:
+        cli.main(["--version"])
+    assert e.value.code == 0
+    assert __version__ in capsys.readouterr().out
+
+
+def test_warc_and_files_output_sinks(fixture_dir, tmp_path):
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "dl2")
+    warc = str(tmp_path / "lineage_out")
+    files = str(tmp_path / "files_out")
+    stats = api.download(
+        ["http://alpha.test/"], fixture_dir, out, "jsonl",
+        options=api.DownloadOptions(
+            warc_output=warc, files_output=files,
+            retries=2, retry_sleep=0.0, retry_sleep_multiplier=3.0,
+            timeout=1.5, user_agent="fdr-test/1.0",
+        ),
+    )
+    assert stats["warc"]["path"] == warc
+    lineage = pq.read_table(warc)
+    assert lineage.num_rows > 0
+    assert set(lineage["type"].to_pylist()) == {"lineage"}
+    payload = pq.read_table(files)
+    assert payload.num_rows > 0
+    assert "image_id" in payload.schema.names
+
+
+def test_quiet_cli_suppresses_stats(fixture_dir, tmp_path, capsys):
+    from forum_dl_ray import __main__ as cli
+
+    rc = cli.main([
+        "http://alpha.test/", "--pages-source", fixture_dir,
+        "--out", str(tmp_path / "qout"), "-o", "urls", "--quiet",
+        "--retries", "2", "--timeout", "2.0", "--user-agent", "x/1",
+    ])
+    assert rc == 0
+    assert capsys.readouterr().out.strip() == ""
