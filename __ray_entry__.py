@@ -48,7 +48,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from forum_dl_ray.ops import audio_ops, dedup, images_ops, queries as q, similarity, text
+    from forum_dl_ray.ops import audio_ops, dedup, images_ops, queries as q, similarity, sketches, text
 
     out: dict[str, Callable[[str], Any]] = {
         # --- relational / aggregate (SURVEY.md A1/A3/A8, M23 analogs) ---
@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": q.vocab_topk,
         "sample_stratified": q.sample_stratified,
         "pack_sequences": q.pack_sequences,
+        "distinct_counts_hll": sketches.distinct_counts_hll,
         # --- text analysis ---
         "token_counts": text.token_counts,
         "text_stats": text.text_stats,

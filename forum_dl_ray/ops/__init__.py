@@ -9,4 +9,4 @@ joins. Exposed via ``__ray_entry__.queries()`` with DuckDB oracles
 where SQL can express the semantics.
 """
 
-from . import audio_ops, dedup, images_ops, queries, similarity, text  # noqa: F401
+from . import audio_ops, dedup, images_ops, queries, similarity, sketches, text  # noqa: F401
