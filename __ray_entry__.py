@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": q.sample_stratified,
         "pack_sequences": q.pack_sequences,
         "distinct_counts_hll": sketches.distinct_counts_hll,
+        "heavy_hitters_cms": sketches.heavy_hitters_cms,
         # --- text analysis ---
         "token_counts": text.token_counts,
         "text_stats": text.text_stats,
@@ -472,6 +473,15 @@ def oracle_sql() -> dict[str, str]:
         "top_docs_by_len": """
             SELECT doc_id, length(text) AS n_chars_m FROM documents
             ORDER BY n_chars_m DESC, doc_id LIMIT 20
+        """,
+        "heavy_hitters_cms": rf"""
+            WITH toks AS (
+                SELECT unnest({tok_list}) AS token FROM documents
+            )
+            SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks
+            WHERE token != ''
+            GROUP BY token HAVING count(*) >= 200
+            ORDER BY n DESC, token
         """,
         "vocab_topk": rf"""
             WITH toks AS (

@@ -78,6 +78,99 @@ def _hash_strings(vals: np.ndarray) -> np.ndarray:
     )
 
 
+_CMS_D = 4
+_CMS_W = 8192
+_CMS_P = np.uint64((1 << 61) - 1)
+
+
+def _cms_params(seed: int = 7):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, size=_CMS_D, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, size=_CMS_D, dtype=np.uint64)
+    return a, b
+
+
+def _cms_rows(hashes: np.ndarray) -> np.ndarray:
+    """(d, n) bucket indices for value hashes."""
+    a, b = _cms_params()
+    with np.errstate(over="ignore"):
+        h = (hashes[None, :] & _CMS_P) * a[:, None] + b[:, None]
+    return ((h % _CMS_P) % np.uint64(_CMS_W)).astype(np.int64)
+
+
+def heavy_hitters_cms(sf_dir: str, min_count: int = 200) -> pd.DataFrame:
+    """EXACT corpus heavy hitters (tokens with total count >= min_count)
+    via a count-min sketch: pass 1 builds one (d × w) CMS per batch
+    (vectorized np.add.at) and the driver SUMS the tiny per-batch
+    sketches (CMS is mergeable by addition); pass 2 re-streams the
+    corpus with the merged sketch broadcast, emitting (token, partial)
+    rows ONLY for tokens whose CMS estimate clears the threshold —
+    CMS never underestimates, so no true heavy hitter is dropped —
+    and a coarse-bucketed exact count over the tiny candidate stream
+    prunes the false positives. Sound + exact: output is provably the
+    same as the full groupby, but the shuffle carries only candidate
+    rows (O(batches·d·w) sketch bytes + survivors), never the corpus
+    vocabulary. Returns (token, n) with n the exact count."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    def batch_tokens(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.cast(batch["text"], pa.large_string())), r"\s+"
+        ).combine_chunks().flatten()
+        vals, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        keep = vals != ""
+        return vals[keep], counts[keep]
+
+    def batch_cms(batch: pa.Table) -> pa.Table:
+        vals, counts = batch_tokens(batch)
+        cms = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+        if len(vals):
+            rows = _cms_rows(_hash_strings(vals))
+            for d in range(_CMS_D):
+                np.add.at(cms[d], rows[d], counts)
+        return pa.table({"cms": pa.array([cms.tobytes()], pa.binary())})
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+    merged = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+    for blob in docs.map_batches(
+        batch_cms, batch_format="pyarrow", runtime_env=_RENV, batch_size=4096
+    ).to_pandas()["cms"]:
+        merged += np.frombuffer(blob, dtype=np.int64).reshape(_CMS_D, _CMS_W)
+    cms_ref = ray.put(merged)
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        cms = ray.get(cms_ref)
+        vals, counts = batch_tokens(batch)
+        if not len(vals):
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64())})
+        rows = _cms_rows(_hash_strings(vals))
+        est = np.min(np.stack([cms[d][rows[d]] for d in range(_CMS_D)]), axis=0)
+        keep = est >= min_count
+        vals, counts = vals[keep], counts[keep]
+        bucket = rows[0][keep] & 63
+        return pa.table({"token": pa.array(list(vals), pa.string()),
+                         "n": pa.array(counts, pa.int64()),
+                         "bucket": pa.array(bucket, pa.int64())})
+
+    def exact_filter(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("token", as_index=False)["n"].sum()
+        return agg[agg["n"] >= min_count]
+
+    out = (
+        docs.map_batches(candidates, batch_format="pyarrow", runtime_env=_RENV,
+                         batch_size=4096)
+        .groupby("bucket")
+        .map_groups(exact_filter, batch_format="pandas", runtime_env=_RENV)
+        .to_pandas()
+    )
+    out = out.astype({"n": "int64"})
+    return out.sort_values(["n", "token"], ascending=[False, True]).reset_index(drop=True)
+
+
 def distinct_counts_hll(sf_dir: str) -> pd.DataFrame:
     """(metric, estimate) for corpus-scale distinct counts: distinct
     whitespace tokens over documents and distinct users over events —

@@ -56,3 +56,21 @@ def test_distinct_counts_deterministic(ray_session):
     from forum_dl_ray.ops.sketches import distinct_counts_hll
 
     assert distinct_counts_hll(SF_DIR).equals(distinct_counts_hll(SF_DIR))
+
+
+def test_heavy_hitters_cms_exact_vs_duckdb(ray_session):
+    import duckdb
+
+    from forum_dl_ray.ops.sketches import heavy_hitters_cms
+
+    got = heavy_hitters_cms(SF_DIR, min_count=50)
+    con = duckdb.connect()
+    want = con.execute(rf"""
+        WITH toks AS (
+            SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+            FROM read_parquet('{SF_DIR}/documents.parquet'))
+        SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks
+        WHERE token != '' GROUP BY token HAVING count(*) >= 50
+        ORDER BY n DESC, token
+    """).fetchdf()
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
