@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionized": q.events_sessionized,
         "events_asof_purchase": q.events_asof_purchase,
         "customers_per_region": q.customers_per_region,
+        "orders_by_segment_priority": q.orders_by_segment_priority,
         "filter_project_lineitem": q.filter_project_lineitem,
         "revenue_by_nation": q.revenue_by_nation,
         "quality_filter": q.quality_filter,
@@ -365,6 +366,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(lp_us, -1) AS BIGINT) AS last_purchase_us,
                    CAST(coalesce(lp_v, -1) AS BIGINT) AS last_purchase_value_e2
             FROM s ORDER BY event_id
+        """,
+        "orders_by_segment_priority": """
+            SELECT c_mktsegment, o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "customers_per_region": """
             SELECT r_name, count(*) AS n_customers

@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "events_sessionized",
     "events_asof_purchase",
     "customers_per_region",
+    "orders_by_segment_priority",
     "filter_project_lineitem",
     "revenue_by_nation",
     "quality_filter",

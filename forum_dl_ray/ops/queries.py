@@ -339,6 +339,66 @@ def events_asof_purchase(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
 
 
 # ------------------------------------------------- dimension chain join
+def orders_by_segment_priority(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
+    """orders ⋈ customer as a CO-PARTITIONED join — the two-large-table
+    pattern where neither side fits a broadcast (every other join in
+    this module broadcasts a small side; at TPC-H scale customer does
+    NOT stay small). Both tables hash o_custkey/c_custkey into the
+    same coarse buckets, union into one stream, and each bucket group
+    does a vectorized pandas merge + partial (segment, priority)
+    counts; the final sum is a driver fold over ≤ buckets × 25 partial
+    rows. ONE shuffle total, both sides move exactly once, and the
+    same bucket key would be reused by any downstream custkey-keyed
+    stage (the pick-one-partitioning-key rule)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def tag_cust(batch: pa.Table) -> pa.Table:
+        k = pc.cast(batch["c_custkey"], pa.int64())
+        return pa.table(
+            {"key": k, "val": batch["c_mktsegment"],
+             "side": pa.array(np.zeros(len(batch), dtype=np.int8)),
+             "bucket": pc.bit_wise_and(k, pa.scalar(n_buckets - 1, pa.int64()))}
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        k = pc.cast(batch["o_custkey"], pa.int64())
+        return pa.table(
+            {"key": k, "val": batch["o_orderpriority"],
+             "side": pa.array(np.ones(len(batch), dtype=np.int8)),
+             "bucket": pc.bit_wise_and(k, pa.scalar(n_buckets - 1, pa.int64()))}
+        )
+
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0][["key", "val"]].rename(columns={"val": "c_mktsegment"})
+        right = g[g["side"] == 1][["key", "val"]].rename(columns={"val": "o_orderpriority"})
+        if not len(left) or not len(right):
+            return pd.DataFrame({"c_mktsegment": pd.Series([], dtype="object"),
+                                 "o_orderpriority": pd.Series([], dtype="object"),
+                                 "n_orders": pd.Series([], dtype="int64")})
+        m = right.merge(left, on="key", how="inner")
+        out = m.groupby(["c_mktsegment", "o_orderpriority"], as_index=False).size()
+        return out.rename(columns={"size": "n_orders"})
+
+    parts = (
+        _union_tagged(cust, tag_cust, orders, tag_orders)
+        .groupby("bucket")
+        .map_groups(bucket_join, batch_format="pandas", runtime_env=_RENV)
+        .to_pandas()  # <= n_buckets * |segments x priorities| rows
+    )
+    out = parts.groupby(["c_mktsegment", "o_orderpriority"], as_index=False)["n_orders"].sum()
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values(["c_mktsegment", "o_orderpriority"]).reset_index(drop=True)
+
+
+def _union_tagged(ds_a: rd.Dataset, tag_a, ds_b: rd.Dataset, tag_b) -> rd.Dataset:
+    """Map both sides to one tagged schema and union them (the
+    co-partition join front half)."""
+    a = ds_a.map_batches(tag_a, batch_format="pyarrow", runtime_env=_RENV, batch_size=65536)
+    b = ds_b.map_batches(tag_b, batch_format="pyarrow", runtime_env=_RENV, batch_size=65536)
+    return a.union(b)
+
+
 def customers_per_region(sf_dir: str) -> pd.DataFrame:
     """customer ⋈ nation ⋈ region via broadcast dict lookups (all
     dimension tables tiny) — no shuffle at any size of customer."""
