@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed": q.events_windowed,
         "events_sessionized": q.events_sessionized,
         "events_asof_purchase": q.events_asof_purchase,
+        "signup_conversion": q.signup_conversion,
         "customers_per_region": q.customers_per_region,
         "orders_by_segment_priority": q.orders_by_segment_priority,
         "filter_project_lineitem": q.filter_project_lineitem,
@@ -366,6 +367,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(lp_us, -1) AS BIGINT) AS last_purchase_us,
                    CAST(coalesce(lp_v, -1) AS BIGINT) AS last_purchase_value_e2
             FROM s ORDER BY event_id
+        """,
+        "signup_conversion": """
+            WITH e AS (
+                SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+            ), s AS (
+                SELECT user_id, us FROM e WHERE event_type = 'signup'
+            ), conv AS (
+                SELECT s.user_id, s.us,
+                       CASE WHEN EXISTS (
+                           SELECT 1 FROM e p
+                           WHERE p.user_id = s.user_id
+                             AND p.event_type = 'purchase'
+                             AND p.us > s.us
+                             AND p.us <= s.us + 604800000000
+                       ) THEN 1 ELSE 0 END AS c
+                FROM s
+            )
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_signups,
+                   CAST(sum(c) AS BIGINT) AS n_converted
+            FROM conv GROUP BY user_id ORDER BY user_id
         """,
         "orders_by_segment_priority": """
             SELECT c_mktsegment, o_orderpriority,

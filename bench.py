@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "events_windowed",
     "events_sessionized",
     "events_asof_purchase",
+    "signup_conversion",
     "customers_per_region",
     "orders_by_segment_priority",
     "filter_project_lineitem",

@@ -339,6 +339,59 @@ def events_asof_purchase(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
 
 
 # ------------------------------------------------- dimension chain join
+def signup_conversion(sf_dir: str, window_days: int = 7,
+                      n_buckets: int = 64) -> pd.DataFrame:
+    """Funnel/conversion window: per user, how many signup events are
+    followed by a purchase strictly after the signup and within
+    ``window_days``. Same co-location contract as the other event
+    window ops (ONE user-hash bucket shuffle); inside each bucket the
+    check is a vectorized searchsorted of each user's purchase times
+    against their signup times — no per-event Python. Returns
+    (user_id, n_signups, n_converted)."""
+    window_us = window_days * 86_400_000_000
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch["user_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        et = batch["event_type"]
+        keep = pc.or_(pc.equal(et, "signup"), pc.equal(et, "purchase"))
+        t = pa.table(
+            {"user_id": pa.array(uid), "us": pc.cast(batch["ts"], pa.int64()),
+             "is_signup": pc.equal(et, "signup"),
+             "bucket": pa.array(uid & (n_buckets - 1))}
+        )
+        return t.filter(keep)
+
+    def convert(g: pd.DataFrame) -> pd.DataFrame:
+        out_u, out_s, out_c = [], [], []
+        for uid, grp in g.groupby("user_id", sort=True):
+            sign = np.sort(grp.loc[grp["is_signup"], "us"].to_numpy())
+            if not len(sign):
+                continue
+            purch = np.sort(grp.loc[~grp["is_signup"], "us"].to_numpy())
+            if len(purch):
+                nxt = np.searchsorted(purch, sign, side="right")
+                has = (nxt < len(purch)) & (purch[np.minimum(nxt, len(purch) - 1)]
+                                            <= sign + window_us)
+                n_conv = int(np.count_nonzero(has))
+            else:
+                n_conv = 0
+            out_u.append(int(uid))
+            out_s.append(len(sign))
+            out_c.append(n_conv)
+        return pd.DataFrame({"user_id": pd.Series(out_u, dtype="int64"),
+                             "n_signups": pd.Series(out_s, dtype="int64"),
+                             "n_converted": pd.Series(out_c, dtype="int64")})
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow", runtime_env=_RENV, batch_size=65536)
+        .groupby("bucket")
+        .map_groups(convert, batch_format="pandas", runtime_env=_RENV)
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def orders_by_segment_priority(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
     """orders ⋈ customer as a CO-PARTITIONED join — the two-large-table
     pattern where neither side fits a broadcast (every other join in
