@@ -641,16 +641,26 @@ def simhash_dedup_pairs(sf_dir: str, max_hamming: int = 8) -> pd.DataFrame:
 
 # ------------------------------------------------- embedding cosine dedup
 def embedding_dedup_pairs(sf_dir: str, threshold: float = 0.4,
-                          target_blocks: int = 8) -> pd.DataFrame:
+                          target_blocks: int | None = None) -> pd.DataFrame:
     """Exact distributed block-vs-block all-pairs cosine: the corpus is
     normalized in a map_batches stage and materialized as Arrow block
     refs IN THE OBJECT STORE (the driver never holds the matrix), then
     one Ray task per block pair (i<=j) computes the matmul and keeps
     only pairs >= threshold. O(n^2) FLOPs split across B*(B+1)/2
     independent tasks — the exact path; the IVF family in
-    similarity.py is the approximate 10^9-row variant."""
-    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                          columns=["vec_id", "embedding"],
+    similarity.py is the approximate 10^9-row variant.
+
+    ``target_blocks`` defaults to row-count / 65 536 (parquet metadata,
+    no scan), clamped to [4, 64]: a fixed block count would mean
+    ever-growing matmul tiles as the table grows, and B*(B+1)/2 tasks
+    caps at ~2 080 — within scheduler comfort."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if target_blocks is None:
+        import pyarrow.parquet as pq
+
+        n = pq.read_metadata(path).num_rows
+        target_blocks = int(min(64, max(4, -(-n // 65_536))))
+    emb = rd.read_parquet(path, columns=["vec_id", "embedding"],
                           override_num_blocks=target_blocks)
 
     def normalize(batch: pa.Table) -> pa.Table:
