@@ -90,3 +90,33 @@ def test_ngram_jaccard_prefix_prunes(ray_session):
         total += m
         prefix += m - int(np.ceil(0.5 * m)) + 1
     assert prefix < 0.6 * total
+
+
+def test_simhash_pairs_match_bruteforce(ray_session):
+    """simhash_dedup_pairs must equal the brute-force enumeration:
+    all pairs within max_hamming that share at least one 16-bit band
+    (the op's LSH admission rule), with the exact hamming distance."""
+    import pyarrow.parquet as pq
+
+    from forum_dl_ray.ops import dedup
+    from forum_dl_ray.ops.text import simhash64
+
+    got = dedup.simhash_dedup_pairs(SF_DIR, max_hamming=8)
+
+    tbl = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    ids = np.array(tbl["doc_id"].to_pylist(), dtype=np.int64)
+    sh = simhash64(tbl["text"].to_pylist()).view(np.uint64)
+    n = len(ids)
+    iu, ju = np.triu_indices(n, 1)
+    x = sh[iu] ^ sh[ju]
+    ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+    band_share = np.zeros(len(x), dtype=bool)
+    for b in range(4):
+        band_share |= ((x >> np.uint64(16 * b)) & np.uint64(0xFFFF)) == 0
+    keep = (ham <= 8) & band_share
+    a = np.minimum(ids[iu[keep]], ids[ju[keep]])
+    b = np.maximum(ids[iu[keep]], ids[ju[keep]])
+    want = {(int(x_), int(y_)): int(h_) for x_, y_, h_ in zip(a, b, ham[keep])}
+    have = {(int(r.id_a), int(r.id_b)): int(r.hamming) for r in got.itertuples()}
+    assert have == want
