@@ -120,3 +120,19 @@ def test_simhash_pairs_match_bruteforce(ray_session):
     want = {(int(x_), int(y_)): int(h_) for x_, y_, h_ in zip(a, b, ham[keep])}
     have = {(int(r.id_a), int(r.id_b)): int(r.hamming) for r in got.itertuples()}
     assert have == want
+
+
+def test_fingerprint_matches_scalar_reference():
+    """The vectorized Rabin-Karp fingerprint must equal the sequential
+    definition h = (h*P + byte) mod 2^64 folded from the FNV seed."""
+    from forum_dl_ray.ops.text import _FP_BASE, _FP_SEED, _rolling_fingerprint
+
+    def scalar(text: str) -> int:
+        h = int(_FP_SEED)
+        for byte in text.encode("utf-8"):
+            h = (h * int(_FP_BASE) + byte) % (1 << 64)
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    for t in ["", "a", "hello world", "ü ünicode ☃", "x" * 5000,
+              "The quick brown fox jumps over the lazy dog."]:
+        assert _rolling_fingerprint(t) == scalar(t), t
