@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": text.lang_id,
         "fingerprints": text.fingerprints,
         "simhashes": text.simhashes,
+        "doc_repetition": text.doc_repetition,
         # --- dedup family ---
         "exact_dedup_keepers": dedup.exact_dedup_keepers,
         "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
@@ -501,6 +502,24 @@ def oracle_sql() -> dict[str, str]:
         "top_docs_by_len": """
             SELECT doc_id, length(text) AS n_chars_m FROM documents
             ORDER BY n_chars_m DESC, doc_id LIMIT 20
+        """,
+        "doc_repetition": r"""
+            WITH tk AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents
+            ), g AS (
+                SELECT doc_id, toks,
+                       CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                            ELSE list_transform(generate_series(1, len(toks) - 2),
+                                                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                       END AS sh
+                FROM tk
+            )
+            SELECT doc_id,
+                   CAST((len(toks) - len(list_distinct(toks))) * 1000
+                        // greatest(1, len(toks)) AS BIGINT) AS dup_token_ratio_e3,
+                   CAST((len(sh) - len(list_distinct(sh))) * 1000
+                        // greatest(1, len(sh)) AS BIGINT) AS dup_gram_ratio_e3
+            FROM g ORDER BY doc_id
         """,
         "heavy_hitters_cms": rf"""
             WITH toks AS (

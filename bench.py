@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "filter_project_lineitem",
     "revenue_by_nation",
     "quality_filter",
+    "doc_repetition",
     "top_docs_by_len",
     "vocab_topk",
     "sample_stratified",

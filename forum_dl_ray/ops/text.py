@@ -262,6 +262,39 @@ def simhash64(texts: list[str]) -> np.ndarray:
     return out
 
 
+def doc_repetition(sf_dir: str, shingle: int = 3) -> rd.Dataset:
+    """Within-document repetition ratios (the Gopher-style repetition
+    quality filters): duplicate-token fraction and duplicate-shingle
+    fraction per doc, as integer per-mille (hash-robust). Pure
+    map-side — no shuffle; the shingle counts reuse token_hashes, so
+    the dup-gram ratio is exactly 1 - distinct/total over the same
+    windows the dedup family hashes."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        tok_lists = [t.split() for t in texts]
+        n_tok = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                            count=len(texts))
+        n_tok_d = np.fromiter((len(set(t)) for t in tok_lists), dtype=np.int64,
+                              count=len(texts))
+        grams = token_hashes(texts, shingle=shingle)
+        n_g = np.fromiter((len(g) for g in grams), dtype=np.int64, count=len(texts))
+        n_g_d = np.fromiter((len(np.unique(g)) for g in grams), dtype=np.int64,
+                            count=len(texts))
+        dup_tok_e3 = (n_tok - n_tok_d) * 1000 // np.maximum(1, n_tok)
+        dup_gram_e3 = (n_g - n_g_d) * 1000 // np.maximum(1, n_g)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "dup_token_ratio_e3": pa.array(dup_tok_e3, pa.int64()),
+                "dup_gram_ratio_e3": pa.array(dup_gram_e3, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", runtime_env=_RENV, batch_size=8192)
+
+
 def simhashes(sf_dir: str) -> rd.Dataset:
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
