@@ -102,6 +102,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_thumbnails": images_ops.image_thumbnails,
         "image_embeddings": images_ops.image_embeddings,
         "video_frame_sample": images_ops.video_frame_sample,
+        "image_exact_dedup": images_ops.image_exact_dedup,
+        "caption_quality": images_ops.caption_quality,
+        "image_caption_sim": images_ops.image_caption_sim,
         "audio_decode_stats": audio_ops.audio_decode_stats,
         "audio_windows": audio_ops.audio_windows,
         # --- crawl engine (rows-only; golden parity in tests) ---
@@ -276,6 +279,19 @@ def oracle_sql() -> dict[str, str]:
         "image_thumbnails": f"""
             SELECT image_id, 32 AS thumb_w, 32 AS thumb_h
             FROM read_parquet('{img_pq}')
+        """,
+        "image_exact_dedup": f"""
+            SELECT min(image_id) AS image_id
+            FROM read_parquet('{img_pq}')
+            GROUP BY bytes ORDER BY image_id
+        """,
+        "caption_quality": rf"""
+            SELECT image_id,
+                   CAST(len(regexp_extract_all(caption, '\S+')) AS BIGINT) AS cap_n_tokens,
+                   CAST(length(caption) AS BIGINT) AS cap_n_chars,
+                   CAST(length(regexp_replace(caption, '[^A-Za-z]', '', 'g')) * 1000
+                        // greatest(1, length(caption)) AS BIGINT) AS cap_alpha_e3
+            FROM read_parquet('{img_pq}') ORDER BY image_id
         """,
         # the op's LSH banding admits a pair iff SOME 16-bit phash chunk
         # agrees — i.e. some 16-bit chunk of the xor is zero — so the

@@ -387,3 +387,123 @@ def video_frame_sample(sf_dir: str) -> pd.DataFrame:
         project, batch_format="pyarrow", batch_size=1024, runtime_env=_RENV
     ).to_pandas()
     return df.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+
+
+def image_exact_dedup(sf_dir: str) -> pd.DataFrame:
+    """Exact payload dedup: min image_id per distinct byte content —
+    the first pass every image-corpus pipeline runs (identical bytes
+    re-posted across threads/hosts). Same partial-then-small-groupby
+    shape as the text exact dedup: payload bytes are hashed inside the
+    scan stage and only (hash, id) rows shuffle, never the payloads."""
+    import hashlib
+
+    from ray.data.aggregate import Min
+
+    ds = _read_images(["image_id", "bytes"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hs = [
+            int.from_bytes(hashlib.blake2b(b, digest_size=8).digest(), "little",
+                           signed=True)
+            for b in batch["bytes"].to_pylist()
+        ]
+        return pa.table({"bytes_hash": pa.array(hs, pa.int64()),
+                         "image_id": batch["image_id"]})
+
+    out = (
+        ds.map_batches(add_hash, batch_format="pyarrow", runtime_env=_RENV,
+                       batch_size=_IMG_BATCH)
+        .groupby("bytes_hash")
+        .aggregate(Min("image_id", alias_name="image_id"))
+        .to_pandas()
+    )
+    return out[["image_id"]].sort_values("image_id").reset_index(drop=True)
+
+
+def caption_quality(sf_dir: str, ) -> pd.DataFrame:
+    """Caption-side curation stats for image-text pairs (the text half
+    of LAION-style pair filtering): per caption, token count, char
+    count and ASCII-alpha ratio — the same integer fixed-point kernels
+    the documents quality filter uses, over the payload table."""
+    import pyarrow.compute as pc
+
+    ds = _read_images(["image_id", "caption"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        cap = pc.cast(batch["caption"], pa.large_string())
+        n_tok = pc.cast(pc.count_substring_regex(cap, pattern=r"\S+"), pa.int64())
+        n_chars = pc.cast(pc.utf8_length(cap), pa.int64())
+        n_alpha = pc.cast(pc.utf8_length(
+            pc.replace_substring_regex(cap, "[^A-Za-z]", "")), pa.int64())
+        alpha_e3 = pc.cast(
+            pc.divide(pc.multiply(n_alpha, pa.scalar(1000, pa.int64())),
+                      pc.max_element_wise(n_chars, pa.scalar(1, pa.int64()))),
+            pa.int64())
+        return pa.table(
+            {"image_id": batch["image_id"], "cap_n_tokens": n_tok,
+             "cap_n_chars": n_chars, "cap_alpha_e3": alpha_e3}
+        )
+
+    out = ds.map_batches(f, batch_format="pyarrow", runtime_env=_RENV,
+                         batch_size=4096).to_pandas()
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+class _FakeTextEmbedStage:
+    """DETERMINISTIC STAND-IN for a text encoder: hashed bag-of-words
+    into the same 16-dim space the fake image encoder uses (a real
+    CLIP text tower drops in behind the same signature)."""
+
+    def __init__(self, dim: int = 16):
+        self.dim = dim
+
+    def embed(self, texts: list[str]) -> np.ndarray:
+        import hashlib
+
+        out = np.zeros((len(texts), self.dim), dtype=np.float64)
+        for i, t in enumerate(texts):
+            for w in t.lower().split():
+                d = hashlib.blake2b(w.encode(), digest_size=4).digest()
+                out[i, int.from_bytes(d, "little") % self.dim] += 1.0
+            n = np.linalg.norm(out[i])
+            if n > 0:
+                out[i] /= n
+        return out
+
+
+class ImageCaptionSimStage:
+    """Actor-pool CLIP-score stage (stub encoders): BOTH modalities
+    live on the same payload row, so the pair score needs NO join —
+    one streaming pass embeds image bytes (FakeEmbedStage kernel) and
+    caption text (_FakeTextEmbedStage) per batch and emits the cosine.
+    Real CLIP towers load their weights here in __init__ and keep this
+    exact batch signature."""
+
+    def __init__(self, grid: int = 4, dim: int = 16):
+        self.img = FakeEmbedStage(grid=grid)
+        self.txt = _FakeTextEmbedStage(dim=dim)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        img_tbl = self.img(batch)
+        iv = np.stack(img_tbl["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(iv, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        iv /= norms
+        tv = self.txt.embed(batch["caption"].to_pylist())
+        sim = np.einsum("ij,ij->i", iv, tv)
+        return pa.table(
+            {"image_id": batch["image_id"],
+             "sim_e4": pa.array((sim * 10000).astype(np.int64), pa.int64())}
+        )
+
+
+def image_caption_sim(sf_dir: str) -> pd.DataFrame:
+    """Image-text pair alignment scores (the CLIP-score filter of
+    pair-curation pipelines, stub encoders) — fully streaming, no
+    shuffle, no driver materialization of anything corpus-sized.
+    Rows-only (model-defined output); determinism pinned in tests."""
+    out = _read_images(["image_id", "bytes", "fmt", "caption"]).map_batches(
+        ImageCaptionSimStage, batch_format="pyarrow", batch_size=_IMG_BATCH,
+        concurrency=2, runtime_env=_RENV,
+    ).to_pandas()
+    return out.sort_values("image_id").reset_index(drop=True)

@@ -32,3 +32,15 @@ def test_embeddings_deterministic(ray_session):
     assert a["embedding"].map(tuple).tolist() == b["embedding"].map(tuple).tolist()
     # unit-ish range from the luminance pooling
     assert all(0.0 <= x <= 1.0 for v in a["embedding"] for x in v)
+
+
+def test_image_caption_sim_streaming_deterministic(ray_session):
+    from forum_dl_ray.ops.images_ops import image_caption_sim
+
+    a = image_caption_sim("unused")
+    b = image_caption_sim("unused")
+    assert a.equals(b)
+    assert list(a.columns) == ["image_id", "sim_e4"]
+    assert len(a) > 0
+    assert (a["sim_e4"].abs() <= 10000).all()
+    assert a["sim_e4"].nunique() > 1  # scores vary across pairs
