@@ -585,7 +585,10 @@ def simhash_dedup_pairs(sf_dir: str, max_hamming: int = 8) -> pd.DataFrame:
     exact hamming distance."""
     from .text import simhashes
 
-    sh = simhashes(sf_dir)
+    # materialize: the (doc_id, simhash) table is consumed twice (band
+    # explode + candidate semi-join); lazy, the second pass would
+    # re-hash every document's tokens from text (measured ~2x the op)
+    sh = simhashes(sf_dir).materialize()
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
