@@ -43,15 +43,21 @@ def normalize_url(
     Strips configured path suffixes (e.g. ``index.php``), trailing
     slashes, params and fragment; keeps only whitelisted query keys;
     re-appends a trailing slash when there is no query.
+
+    Deliberate deviation from the reference: ALL trailing slashes are
+    stripped (the reference's single ``removesuffix("/")`` makes
+    ``normalize`` non-idempotent on ``...///`` paths — found by the
+    hypothesis property test — and a non-idempotent canonical key
+    splits the frontier seen-set at 10^10-URL scale).
     """
     parsed = urlparse(url)
-    new_path = parsed.path.removesuffix("/")
+    new_path = parsed.path.rstrip("/")
 
     if not keep_queries or not parsed.query:
         for suffix in remove_suffixes:
             new_path = new_path.removesuffix(suffix)
 
-    new_path = new_path.removesuffix("/")
+    new_path = new_path.rstrip("/")
 
     query = parse_qs(parsed.query)
     new_query = {key: query[key] for key in keep_queries if key in query}
