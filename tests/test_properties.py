@@ -80,3 +80,42 @@ def test_simhash_batch_invariant(words):
     alone = simhash64([t])[0]
     batched = simhash64(["filler one two", t, "other doc"])[1]
     assert alone == batched
+
+
+# ---------------------------------------------------------------- frontier
+from forum_dl_ray.frontier.shard import ShardState  # noqa: E402
+
+
+def _mk_state():
+    return ShardState(shard_id=0, capacity=100_000, exact=True,
+                      default_rate=float("inf"))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=200),
+       st.integers(min_value=1, max_value=32))
+def test_seen_offer_batching_invariant(keys, batch):
+    """The final accepted set must not depend on batch boundaries, and
+    each distinct key is accepted exactly once regardless of how often
+    or in what grouping it is re-offered."""
+    urls = [f"http://h.test/t/{k}" for k in keys]
+    hashes = np.array([url_hash64(u) for u in urls], dtype=np.int64)
+
+    one = _mk_state()
+    fresh_all = one.seen_offer(hashes, urls)
+
+    many = _mk_state()
+    accepted = []
+    for i in range(0, len(keys), batch):
+        accepted.extend(many.seen_offer(hashes[i:i + batch], urls[i:i + batch]))
+
+    # same multiset of per-position decisions
+    assert list(fresh_all) == accepted
+    # exactly one acceptance per distinct key, at its first occurrence
+    first_pos = {}
+    for i, k in enumerate(keys):
+        first_pos.setdefault(k, i)
+    expect = [i == first_pos[k] for i, k in enumerate(keys)]
+    assert list(fresh_all) == expect
+    # re-offering everything is a no-op
+    assert not any(one.seen_offer(hashes, urls))
