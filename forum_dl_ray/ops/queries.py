@@ -313,13 +313,11 @@ def events_asof_purchase(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
         g = g.sort_values(["user_id", "us", "event_id"], kind="mergesort")
         pu = g["us"].where(g["is_purchase"])
         pv = g["v_e2"].where(g["is_purchase"])
-        grp = g.groupby("user_id", sort=False)
         lp_us = pu.groupby(g["user_id"], sort=False).shift(1)
         lp_v = pv.groupby(g["user_id"], sort=False).shift(1)
         # NOTE: shift BEFORE ffill = strictly-prior semantics
         lp_us = lp_us.groupby(g["user_id"], sort=False).ffill()
         lp_v = lp_v.groupby(g["user_id"], sort=False).ffill()
-        del grp
         out = pd.DataFrame({
             "event_id": g["event_id"].astype("int64"),
             "user_id": g["user_id"].astype("int64"),
