@@ -60,8 +60,7 @@ BENCH_QUERIES = [
     "token_counts",
     "text_stats",
     "lang_id",
-    "fingerprints",
-    "simhashes",
+    "doc_signatures",
     "exact_dedup_keepers",
     "minhash_clusters",
     "simhash_dedup_pairs",

@@ -48,17 +48,26 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--list-extractors", action="store_true")
     p.add_argument("--list-output-formats", action="store_true")
     p.add_argument("--num-shards", type=int, default=4)
-    # session options (reference options.py:41-77)
+    # session options — defaults MATCH the reference options.py:41-77
+    # (round-2 advice: retries=4, retry-sleep=1, UA "Forum-dl {ver}")
+    from . import __version__ as _ver
+
     p.add_argument("--timeout", type=float, default=5.0,
-                   help="HTTP timeout seconds (honored by the HTTP seam)")
-    p.add_argument("--retries", type=int, default=3,
+                   help="HTTP timeout seconds (honored by HttpPageStore "
+                        "when --http-gateway routes fetches over sockets)")
+    p.add_argument("--retries", type=int, default=4,
                    help="in-stage transient-retry budget")
-    p.add_argument("--retry-sleep", type=float, default=0.0,
-                   help="base backoff seconds between retries")
+    p.add_argument("--retry-sleep", type=float, default=1.0,
+                   help="base backoff seconds between retries (only "
+                        "slept when a transient failure actually occurs)")
     p.add_argument("--retry-sleep-multiplier", type=float, default=2.0,
                    help="backoff growth factor")
-    p.add_argument("--user-agent", default="",
-                   help="user-agent string for the HTTP seam")
+    p.add_argument("--user-agent", default=f"Forum-dl-ray {_ver}",
+                   help="user-agent string sent by the HTTP seam")
+    p.add_argument("--http-gateway", default=None,
+                   help="fetch over real sockets via this gateway "
+                        "(GET gateway/quote(url)) instead of the parquet "
+                        "page store")
     # extra sinks (reference options.py:104-127)
     p.add_argument("--warc-output", default="",
                    help="also write per-fetch lineage rows (S5) to this dir")
@@ -116,6 +125,7 @@ def main(argv: list[str] | None = None) -> int:
                 retry_sleep_multiplier=args.retry_sleep_multiplier,
                 timeout=args.timeout,
                 user_agent=args.user_agent,
+                http_gateway=args.http_gateway,
                 warc_output=args.warc_output,
                 files_output=args.files_output,
             ),

@@ -17,6 +17,7 @@ run, S9).
 
 from __future__ import annotations
 
+import dataclasses
 import os
 from dataclasses import dataclass, field
 
@@ -46,13 +47,16 @@ class DownloadOptions:
     write_posts: bool = True
     write_files: bool = True
     write_outside_files: bool = False
-    # session options (reference options.py:41-77): retry budget,
-    # backoff, timeout and UA flow into the fetch stage / HTTP seam
-    retries: int = 3
-    retry_sleep: float = 0.0
+    # session options — defaults MATCH the reference options.py:41-77
+    # (retries=4, retry_sleep=1; backoff only sleeps when a transient
+    # failure actually occurs). timeout/UA flow into the fetch stage
+    # and are honored by HttpPageStore when http_gateway is set.
+    retries: int = 4
+    retry_sleep: float = 1.0
     retry_sleep_multiplier: float = 2.0
     timeout: float = 5.0
     user_agent: str = ""
+    http_gateway: str | None = None
     # extra sinks (reference --warc-output / --files-output): lineage
     # capture (the reference's WARC writer is itself a no-op shell —
     # lineage rows are this engine's S5 equivalent) and a separate
@@ -139,6 +143,10 @@ def download(
     opts = options or DownloadOptions()
     if output_format not in OUTPUT_FORMATS:
         raise ValueError(f"unknown output format {output_format!r}; see list_output_formats()")
+    if opts.warc_output and not opts.write_outside_files:
+        # reference parity (options.py / round-2 advice): --warc-output
+        # implies capturing outside-content files too
+        opts = dataclasses.replace(opts, write_outside_files=True)
 
     seeds = []
     for i, url in enumerate(urls):
@@ -160,6 +168,7 @@ def download(
         backoff_multiplier=opts.retry_sleep_multiplier,
         timeout_s=opts.timeout,
         user_agent=opts.user_agent,
+        http_gateway=opts.http_gateway,
     )
     crawl_dir = os.path.join(out_dir, "crawl")
     stats = Crawler(pages_source, crawl_dir, cfg, seeds=seeds).run()

@@ -80,8 +80,13 @@ class CrawlConfig:
                                    # (reference --timeout; the parquet page
                                    # store answers instantly, a real fetcher
                                    # behind get_store honors it)
-    user_agent: str = ""           # reference --user-agent; carried to the
-                                   # HTTP seam (no header leaves this sandbox)
+    user_agent: str = ""           # reference --user-agent; sent by the
+                                   # HTTP seam (HttpPageStore) when set
+    http_gateway: str | None = None  # non-None switches the fetch stage to
+                                     # REAL sockets via HttpPageStore:
+                                     # GET {gateway}/{quote(url)} with
+                                     # timeout_s + user_agent honored
+                                     # (tests run a localhost gateway)
     max_waves: int = 100_000
     capacity_per_shard: int = 1_000_000
     fetch_assets: bool = True      # False = --get-urls style dry run:
@@ -164,10 +169,14 @@ class Crawler:
             frontier.offer(self.seed_entries())
 
         # broadcast the page store once (ray.put) — every fetch task
-        # resolves it zero-copy from the object store
+        # resolves it zero-copy from the object store; with an HTTP
+        # gateway configured the fetch stage opens real sockets instead
         from .fetch import put_store
 
-        store_ref = put_store(self.pages_path)
+        if cfg.http_gateway is not None:
+            store_ref = ("http", cfg.http_gateway, cfg.timeout_s, cfg.user_agent)
+        else:
+            store_ref = put_store(self.pages_path)
         fetch = functools.partial(
             fetch_batch, pages_path=store_ref, frontier=frontier,
             flaky_rate=cfg.flaky_rate, retries=cfg.retries,

@@ -73,6 +73,52 @@ class PageStore:
         return out.tolist()
 
 
+class HttpPageStore:
+    """REAL socket fetcher behind the page-store seam (S1/S2 —
+    reference session.py:68-141). URLs are fetched through a gateway
+    (forward-proxy style: ``GET {gateway}/{quote(url)}``) so one
+    localhost server can serve a whole multi-host fixture; pointing
+    ``gateway`` at "" (empty) fetches each URL directly instead. Honors
+    ``timeout_s`` per request and sends ``user_agent`` — the two
+    options the round-2 advice flagged as carried-but-inert.
+
+    Transient transport errors (connect/timeout/5xx) surface as
+    status 503 to :func:`fetch_batch`'s bounded in-stage retry loop,
+    exactly like the simulated transport; 4xx land in the frontier
+    failed set. Spec form for :func:`get_store`:
+    ``("http", gateway, timeout_s, user_agent)``."""
+
+    def __init__(self, gateway: str, timeout_s: float = 5.0, user_agent: str = ""):
+        self.gateway = gateway.rstrip("/")
+        self.timeout_s = timeout_s
+        self.user_agent = user_agent
+
+    def request_url(self, url: str) -> str:
+        if not self.gateway:
+            return url
+        from urllib.parse import quote
+
+        return f"{self.gateway}/{quote(url, safe='')}"
+
+    def fetch(self, url: str) -> tuple[int, bytes, str]:
+        """(status, body, content_type); 503 for transport errors."""
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.request_url(url),
+            headers={"User-Agent": self.user_agent} if self.user_agent else {},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                return (resp.status, resp.read(),
+                        resp.headers.get("Content-Type", "") or "")
+        except urllib.error.HTTPError as e:
+            return e.code, b"", ""
+        except (urllib.error.URLError, TimeoutError, OSError):
+            return 503, b"", ""
+
+
 def put_store(pages_path: str):
     """Driver-side: build the page store once and broadcast it.
     Returns an ObjectRef resolvable by :func:`get_store`."""
@@ -82,9 +128,17 @@ def put_store(pages_path: str):
     return ray.put((s.table, s.sorted_hashes, s.row_for))
 
 
-def get_store(src) -> PageStore:
+def get_store(src) -> "PageStore | HttpPageStore":
     """Resolve a page store from an ObjectRef (broadcast, zero-copy,
-    preferred) or a parquet path (per-process build — driver/tests)."""
+    preferred), a parquet path (per-process build — driver/tests), or
+    an ``("http", gateway, timeout_s, user_agent)`` spec (real-socket
+    fetcher)."""
+    if isinstance(src, tuple) and src and src[0] == "http":
+        store = _STORES.get(src)
+        if store is None:
+            store = HttpPageStore(src[1], timeout_s=src[2], user_agent=src[3])
+            _STORES[src] = store
+        return store
     store = _STORES.get(src)
     if store is None:
         if isinstance(src, str):
@@ -168,9 +222,15 @@ def fetch_batch(
     and fall through to the failed set). Permanent failures (missing /
     status>=400) are marked in the frontier failed-set (batched RPC,
     only when failures exist) and never re-fetched.
-    ``pages_path`` is a broadcast store ref or a parquet path."""
+    ``pages_path`` is a broadcast store ref, a parquet path, or an
+    ``("http", ...)`` spec (real sockets via :class:`HttpPageStore` —
+    same retry loop, the transport is the only difference)."""
     store = get_store(pages_path)
     urls = batch["url"].to_pylist()
+    if isinstance(store, HttpPageStore):
+        return _fetch_batch_http(batch, urls, store, frontier=frontier,
+                                 retries=retries, backoff_base=backoff_base,
+                                 backoff_multiplier=backoff_multiplier)
     rows = store.lookup(urls)
 
     bodies: list[bytes] = []
@@ -227,6 +287,63 @@ def fetch_batch(
     if failed_idx and frontier is not None:
         frontier.mark_failed([urls[i] for i in failed_idx])
 
+    return (
+        batch.append_column("body", pa.array(bodies, pa.large_binary()))
+        .append_column("status", pa.array(statuses, pa.int32()))
+        .append_column("content_type", pa.array(ctypes, pa.string()))
+        .append_column("bytes_sha1", pa.array(sha1s, pa.string()))
+        .append_column("n_bytes", pa.array(nbytes, pa.int64()))
+        .append_column("n_attempts", pa.array(attempts_out, pa.int32()))
+    )
+
+
+def _fetch_batch_http(
+    batch: pa.Table,
+    urls: list[str],
+    store: HttpPageStore,
+    *,
+    frontier: Any,
+    retries: int,
+    backoff_base: float,
+    backoff_multiplier: float,
+) -> pa.Table:
+    """Real-socket variant of the fetch loop: same output schema, same
+    bounded exponential-backoff retry on transient (5xx / transport)
+    failures, same frontier failed-set marking for permanent ones."""
+    import time
+
+    bodies: list[bytes] = []
+    statuses: list[int] = []
+    ctypes: list[str] = []
+    sha1s: list[str] = []
+    nbytes: list[int] = []
+    attempts_out: list[int] = []
+    failed_idx: list[int] = []
+    for i, url in enumerate(urls):
+        attempt = 0
+        while True:
+            status, body, ctype = store.fetch(url)
+            attempt += 1
+            if status < 500 or attempt > retries:
+                break
+            if backoff_base > 0.0:
+                time.sleep(backoff_base * (backoff_multiplier ** (attempt - 1)))
+        attempts_out.append(attempt)
+        if status != 200:
+            bodies.append(b"")
+            statuses.append(int(status))
+            ctypes.append("")
+            sha1s.append("")
+            nbytes.append(0)
+            failed_idx.append(i)
+            continue
+        bodies.append(body)
+        statuses.append(200)
+        ctypes.append(ctype)
+        sha1s.append(hashlib.sha1(body).hexdigest())
+        nbytes.append(len(body))
+    if failed_idx and frontier is not None:
+        frontier.mark_failed([urls[i] for i in failed_idx])
     return (
         batch.append_column("body", pa.array(bodies, pa.large_binary()))
         .append_column("status", pa.array(statuses, pa.int32()))

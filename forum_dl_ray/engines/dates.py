@@ -71,6 +71,21 @@ _RELATIVE_RE = re.compile(
 )
 _TZ_OFF_RE = re.compile(r"^([+-])(\d{2}):?(\d{2})$")
 
+# fixed offsets (minutes east of UTC) for the zone abbreviations
+# dateparser resolves in its `en` locale — round-2 advice: treating
+# EST/PST/CET as UTC silently shifted mail-header timestamps by hours.
+# Ambiguous abbreviations (e.g. IST, CST in Asia) use the US/European
+# reading dateparser's default locale picks.
+_TZ_ABBREV_MIN = {
+    "EST": -300, "EDT": -240, "CST": -360, "CDT": -300,
+    "MST": -420, "MDT": -360, "PST": -480, "PDT": -420,
+    "AKST": -540, "AKDT": -480, "HST": -600,
+    "CET": 60, "CEST": 120, "EET": 120, "EEST": 180,
+    "WET": 0, "WEST": 60, "BST": 60, "MSK": 180,
+    "IST": 330, "JST": 540, "KST": 540, "SGT": 480, "HKT": 480,
+    "AEST": 600, "AEDT": 660, "NZST": 720, "NZDT": 780,
+}
+
 
 def _clock(m: re.Match) -> tuple[int, int, int] | None:
     """(h, mi, s) from the shared time groups; None on a bad clock."""
@@ -97,7 +112,11 @@ def _shift_to_utc(dt: datetime, tz: str | None) -> datetime:
     if off:
         delta = timedelta(hours=int(off.group(2)), minutes=int(off.group(3)))
         return dt - delta if off.group(1) == "+" else dt + delta
-    return dt  # unknown alpha zone: treat as UTC (dateparser parity)
+    minutes = _TZ_ABBREV_MIN.get(tz.upper())
+    if minutes is not None:
+        return dt - timedelta(minutes=minutes)
+    return dt  # unrecognized alpha zone: DELIBERATE deviation from
+    # dateparser — assumed UTC rather than failing the whole parse
 
 
 def parse_freeform(text: str, base: datetime | None = None,

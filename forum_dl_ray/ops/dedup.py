@@ -33,6 +33,7 @@ import ray.data as rd
 
 from forum_dl_ray import STAGE_RUNTIME_ENV as _RENV
 
+from ._scale import default_buckets
 from .text import token_hashes
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -43,9 +44,11 @@ def _read_docs(sf_dir: str, columns=None) -> rd.Dataset:
 
 
 # ------------------------------------------------------------- exact dedup
-def exact_dedup_keepers(sf_dir: str) -> pd.DataFrame:
+def exact_dedup_keepers(sf_dir: str) -> rd.Dataset:
     """Min doc_id per distinct text. Hash column computed per batch;
-    groupby shuffles only (hash, doc_id) — not the text bodies."""
+    groupby shuffles only (hash, doc_id) — not the text bodies. The
+    keeper set is O(corpus), so it stays a streaming Dataset
+    (write_parquet-able; round 2 pulled it through the driver)."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def add_hash(batch: pa.Table) -> pa.Table:
@@ -57,13 +60,12 @@ def exact_dedup_keepers(sf_dir: str) -> pd.DataFrame:
 
     from ray.data.aggregate import Min
 
-    out = (
+    return (
         ds.map_batches(add_hash, batch_format="pyarrow", runtime_env=_RENV, batch_size=8192)
         .groupby("text_hash")
         .aggregate(Min("doc_id", alias_name="doc_id"))
-        .to_pandas()
+        .select_columns(["doc_id"])
     )
-    return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
 
 
 # ------------------------------------------------------------ minhash LSH
@@ -116,16 +118,33 @@ def minhash_bands(sf_dir: str, num_perm: int = 64, bands: int = 16, shingle: int
     )
 
 
-def _lsh_candidate_pairs(band_ds: rd.Dataset, keys: list[str], n_buckets: int = 128) -> pd.DataFrame:
+def _lsh_candidate_pairs(band_ds: rd.Dataset, keys: list[str],
+                         n_buckets: int | None = None,
+                         key_pair_cap: int = 2_000_000) -> pd.DataFrame:
     """Distinct (id_a, id_b) sharing any LSH bucket.
 
     A naive ``groupby(keys).map_groups`` makes one pandas group per
     bucket — at 16 bands × n_docs that is O(corpus) mostly-singleton
     groups and the per-group overhead dominates (measured 25 s at
     5k docs). Instead: hash buckets into ``n_buckets`` coarse
-    partitions (ONE shuffle, bounded group count) and extract pairs
-    inside each partition vectorized — duplicated() mask drops the
-    singleton majority before any Python-level pairing."""
+    partitions (ONE shuffle, bounded group count; default scales with
+    the cluster, ops/_scale.py) and extract pairs inside each
+    partition vectorized — duplicated() mask drops the singleton
+    majority before any Python-level pairing.
+
+    **Pair-volume guard** (round-2 verdict #4): a degenerate LSH key
+    holding k identical docs emits k(k-1)/2 pairs — 5·10⁹ from one
+    10⁵-doc bucket, quadratic in one task. Any key whose pair count
+    would exceed ``key_pair_cap`` degrades to a SPANNING STAR (every
+    doc paired with the key's min doc: k-1 pairs). Connectivity — and
+    therefore every downstream clustering (minhash_clusters' union-
+    find) — is preserved exactly, because all the star's pairs are
+    true duplicates of the hub whenever the key collision is content-
+    identical; only the explicit pair LIST is truncated for
+    pathological keys, and normal corpora (every key below the cap)
+    are bit-identical to the unguarded output. Property-tested with
+    an all-identical-docs corpus."""
+    n_buckets = n_buckets or default_buckets(per_cpu=4, lo=128)
     key_col = keys[-1]
 
     def coarse(batch: pa.Table) -> pa.Table:
@@ -149,7 +168,12 @@ def _lsh_candidate_pairs(band_ds: rd.Dataset, keys: list[str], n_buckets: int = 
         for s, k in zip(starts, sizes):
             if k < 2:
                 continue
-            iu, ju = np.triu_indices(k, 1)
+            if k * (k - 1) // 2 > key_pair_cap:
+                # degenerate key: spanning star around the min doc
+                iu = np.zeros(k - 1, dtype=np.int64)
+                ju = np.arange(1, k, dtype=np.int64)
+            else:
+                iu, ju = np.triu_indices(k, 1)
             a_idx.append(s + iu)
             b_idx.append(s + ju)
         if not a_idx:
@@ -174,7 +198,7 @@ def _jaccard(a: set, b: set) -> float:
 
 
 def _verify_pairs_counts(sf_dir: str, cand: pd.DataFrame, shingle: int,
-                         n_buckets: int = 64) -> tuple[np.ndarray, np.ndarray]:
+                         n_buckets: int | None = None) -> tuple[np.ndarray, np.ndarray]:
     """Exact shingle (intersection, union) counts per candidate pair,
     fully distributed:
 
@@ -190,6 +214,7 @@ def _verify_pairs_counts(sf_dir: str, cand: pd.DataFrame, shingle: int,
     Text bodies never leave the scan stage and the corpus is never
     materialized on the driver (the round-1 version pulled the whole
     documents table through Dataset.to_pandas())."""
+    n_buckets = n_buckets or default_buckets()
     doc2pairs: dict[int, list[tuple[int, int]]] = {}
     for pidx, (a, b) in enumerate(zip(cand["id_a"], cand["id_b"])):
         doc2pairs.setdefault(int(a), []).append((pidx, 0))
@@ -317,7 +342,10 @@ def _ngram_postings(sf_dir: str, shingle: int) -> rd.Dataset:
     """ONE shingle pass over the corpus → materialized postings
     (doc_id, m, gram_hash, bucket), m = the doc's distinct-gram count
     (needed for |A∪B|). Materialized because both the df pass and the
-    pair join consume it — text is read and shingled exactly once."""
+    pair join consume it — text is read and shingled exactly once.
+    The bucket width scales with the cluster (ops/_scale.py)."""
+    mask = default_buckets() - 1
+
     def posting_stage(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -328,7 +356,7 @@ def _ngram_postings(sf_dir: str, shingle: int) -> rd.Dataset:
         return pa.table({"doc_id": pa.array(np.repeat(ids, reps)),
                          "m": pa.array(np.repeat(reps, reps)),
                          "gram_hash": pa.array(gr),
-                         "bucket": pa.array(gr & 63)})
+                         "bucket": pa.array(gr & mask)})
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         posting_stage, batch_format="pyarrow", runtime_env=_RENV, batch_size=4096
@@ -346,6 +374,7 @@ def _ngram_pairs_direct(postings: rd.Dataset, threshold_e4: int) -> pd.DataFrame
     pair rows (the caller switches to the prefix-filter path when the
     df pass says that explodes)."""
     _MIX = np.int64(0x9E3779B9)
+    pmask = default_buckets() - 1
 
     def gram_pairs(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({c: pd.Series([], dtype="int64") for c in
@@ -370,7 +399,7 @@ def _ngram_pairs_direct(postings: rd.Dataset, threshold_e4: int) -> pd.DataFrame
         bi = np.concatenate(b_idx)
         id_a, id_b = doc[ai], doc[bi]  # doc-sorted per gram => id_a < id_b
         with np.errstate(over="ignore"):
-            pb = ((id_a * _MIX) ^ id_b) & 63
+            pb = ((id_a * _MIX) ^ id_b) & pmask
         return pd.DataFrame({"id_a": id_a, "id_b": id_b,
                              "m_a": mm[ai], "m_b": mm[bi], "pbucket": pb})
 

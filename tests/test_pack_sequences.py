@@ -15,7 +15,7 @@ BUDGET = 512
 def test_pack_sequences_invariants(ray_session):
     from forum_dl_ray.ops.queries import pack_sequences
 
-    out = pack_sequences(SF_DIR, budget=BUDGET)
+    out = pack_sequences(SF_DIR, budget=BUDGET).to_pandas()
     docs = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
                          columns=["doc_id"])
     # every doc packed exactly once
@@ -44,6 +44,6 @@ def test_pack_sequences_invariants(ray_session):
 def test_pack_sequences_deterministic(ray_session):
     from forum_dl_ray.ops.queries import pack_sequences
 
-    a = pack_sequences(SF_DIR)
-    b = pack_sequences(SF_DIR)
+    a = pack_sequences(SF_DIR).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = pack_sequences(SF_DIR).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
