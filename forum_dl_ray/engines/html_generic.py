@@ -46,7 +46,10 @@ def canon(href: str, base_url: str) -> str:
 
 
 def detect(url: str, body: bytes) -> bool:
-    return MARKER in body[:4096]
+    # attribute-order-tolerant: real generators reorder meta attrs; the
+    # value token is order-invariant (DOM fallback rationale in dom.py)
+    head = body[:4096]
+    return MARKER in head or b'content="synthforum/1.0"' in head
 
 
 def page_title(body: bytes) -> str:
@@ -65,7 +68,11 @@ def classify_page(body: bytes) -> str:
         return "board"
     if POST_RE.search(text) or DIALECT_RE.search(text):
         return "thread"
-    return "board"
+    # regexes saw nothing: attribute-reordered page (or an empty board).
+    # The tolerant DOM classifies by structure, not byte layout (M4).
+    from . import html_dom
+
+    return html_dom.classify_page_dom(body)
 
 
 def board_path_from_crumbs(body: bytes, page_url: str) -> list[str]:
@@ -91,6 +98,12 @@ def parse_board_page(body: bytes, page_url: str) -> dict:
     threads = [(canon(h, page_url), t) for h, t in THREAD_ITEM_RE.findall(text)]
     m = NEXT_RE.search(text)
     next_url = canon(m.group(1), page_url) if m else None
+    if next_url is None and 'class="next"' in text:
+        # pagination anchor present but attribute-reordered: the regex
+        # missed it; losing it would truncate the crawl. DOM recovers it.
+        from . import html_dom
+
+        next_url = html_dom.find_next_url_dom(body, page_url)
     return {
         "title": page_title(body),
         "subboards": subboards,
@@ -137,6 +150,24 @@ def parse_thread_page(body: bytes, page_url: str) -> dict:
         )
     m = NEXT_RE.search(text)
     next_url = canon(m.group(1), page_url) if m else None
+    if not posts:
+        # zero post rows from the regex kernels: either a genuinely
+        # empty thread page (rare) or attribute-reordered markup the
+        # byte-layout regexes cannot see. One tolerant DOM pass decides
+        # — its inner_html content is a byte-exact source substring, so
+        # a DOM hit hashes identically to what the regex would have
+        # captured on ordered markup (M4; dom.py module doc).
+        from . import html_dom
+
+        dom_res = html_dom.parse_thread_page_dom(body, page_url)
+        if dom_res["posts"]:
+            if next_url is not None:
+                dom_res["next_url"] = next_url
+            return dom_res
+    if next_url is None and 'class="next"' in text:
+        from . import html_dom
+
+        next_url = html_dom.find_next_url_dom(body, page_url)
     return {"title": page_title(body), "posts": posts, "next_url": next_url}
 
 
@@ -287,6 +318,10 @@ PAGE_EMBED_RE = re.compile(
     re.S,
 )
 AUDIO_SOURCE_RE = re.compile(r'<source src="([^"]+)">')
+# loose tag census: counts embed-candidate tags irrespective of
+# attribute order; a mismatch vs the strict alternation's hit count
+# means some tag was attribute-reordered -> take the DOM walk instead
+_EMBED_CENSUS_RE = re.compile(r"<(?:link|embed|object|img|source)\b|<svg>")
 
 
 def page_embeds(body: bytes, page_url: str) -> list[dict]:
@@ -298,6 +333,7 @@ def page_embeds(body: bytes, page_url: str) -> list[dict]:
     post-content ones so the anti-join is real."""
     text = body.decode("utf-8", "replace")
     out: list[dict] = []
+    n_loose = len(_EMBED_CENSUS_RE.findall(text))
     for m in PAGE_EMBED_RE.finditer(text):
         if m.group("svg") is not None:
             out.append(
@@ -312,13 +348,24 @@ def page_embeds(body: bytes, page_url: str) -> list[dict]:
             src = m.group("css") or m.group("emb") or m.group("obj") or m.group("img")
             u = src if src.startswith("data:") else canon(src, page_url)
             out.append({"url": u, "content_type": None, "content_bytes": None})
+    if len(out) != n_loose:
+        # some embed tag exists that the ordered alternation missed
+        # (attribute-reordered markup) — document-order DOM walk instead
+        from . import html_dom
+
+        return html_dom.page_embeds_dom(body, page_url)
     return out
 
 
 def parse_crumbs(body: bytes, page_url: str) -> list[tuple[str, str]]:
     """Breadcrumb (url, title) list — the lookup key stream for the
     broadcast board-tree join J2 (common.py:273-289)."""
-    m = CRUMB_RE.search(body.decode("utf-8", "replace"))
+    text = body.decode("utf-8", "replace")
+    m = CRUMB_RE.search(text)
     if not m:
+        if "crumbs" in text:  # nav present but attribute-reordered
+            from . import html_dom
+
+            return html_dom.parse_crumbs_dom(body, page_url)
         return []
     return [(canon(h, page_url), t) for h, t in CRUMB_LINK_RE.findall(m.group(1))]
