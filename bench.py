@@ -214,22 +214,31 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
         lambda b: b, batch_format="pyarrow", runtime_env=STAGE_RUNTIME_ENV
     ).materialize()
 
+    # Per-leg best-of-REPS (round-2 verdict Next #4): this VM's wall
+    # time swings ±40%-to-3x under steal; a single rep in a noisy
+    # window prints a 2x artifact that reads as a code regression.
+    # Best-of-N per query bounds the artifact at the cost of ~Nx bench
+    # wall time; per-leg rep counts are recorded in the JSON.
+    reps = max(1, int(os.environ.get("BENCH_REPS", "2")))
     qs = em.queries()
     qtimes: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        _consume(qs[name](sf_dir))
-        dt = time.perf_counter() - t0
-        qtimes[name] = round(dt, 3)
-        total += dt
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _consume(qs[name](sf_dir))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        qtimes[name] = round(best, 3)
+        total += best
 
-    crawl = crawl_bench(sf_dir, num_cpus)
+    crawls = [crawl_bench(sf_dir, num_cpus) for _ in range(reps)]
+    crawl = max(crawls, key=lambda c: c["crawl_urls_per_sec"])
     total += crawl["crawl_elapsed_sec"]
-    fops = frontier_bench(num_cpus)
-    # reps=2: single-run steady numbers on this box swing ±40% (VM
-    # steal); best-of-2 keeps the headline stable for ~5s extra wall
-    steady = steady_run(num_cpus, big=False, reps=2)
+    fops = max((frontier_bench(num_cpus) for _ in range(reps)),
+               key=lambda f: f["frontier_ops_per_sec"])
+    steady = steady_run(num_cpus, big=False, reps=reps)
 
     import ray
 
@@ -241,6 +250,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
         "queries": qtimes,
         "sf": sf_dir,
         "num_cpus": num_cpus,
+        "reps_per_leg": reps,
         **crawl,
         **fops,
         **steady,
@@ -263,18 +273,52 @@ def run_steady_only(num_cpus: int, reps: int = 3) -> dict:
     }
 
 
-def run_scaling(sf_dir: str, lo: int, hi: int) -> dict:
-    """Same steady-state job at num_cpus=lo and =hi, fresh processes."""
+def run_pump_only(num_cpus: int, reps: int = 3) -> dict:
+    """Distributed-pump drain scaling subject, one fresh process
+    (crawl/pump.py pump_drain_bench: pre-seeded frontier, timed drain
+    through real fetch→parse tasks — includes full frontier pressure,
+    unlike the steady Dataset job)."""
+    _init_ray(num_cpus)
+    from forum_dl_ray.crawl.pump import pump_drain_bench
+    from forum_dl_ray.fixtures import generate_fixture, steady_big_spec, steady_spec
+
+    warm_fx = generate_fixture(steady_spec())
+    pump_drain_bench(warm_fx, "/tmp/fdr_pump_warm", num_cpus)  # worker warmup
+    fx = generate_fixture(steady_big_spec())
+    best = None
+    for _ in range(reps):
+        r = pump_drain_bench(fx, "/tmp/fdr_pump_out", num_cpus)
+        if best is None or r["pump_urls_per_sec"] > best["pump_urls_per_sec"]:
+            best = r
+    import ray
+
+    ray.shutdown()
+    return {
+        "metric": "pump-crawler drain throughput (URLs fetched+parsed/sec)",
+        "value": best["pump_urls_per_sec"],
+        "unit": "urls/sec",
+        "num_cpus": num_cpus,
+        **best,
+    }
+
+
+def run_scaling(sf_dir: str, lo: int, hi: int, subject: str = "steady") -> dict:
+    """Same job at num_cpus=lo and =hi, fresh processes. Subjects:
+    'steady' (official protocol — Dataset fetch/parse width) or 'pump'
+    (distributed pump drain incl. frontier pressure)."""
     # pre-generate fixtures once so neither run pays generation cost
     from forum_dl_ray.fixtures import generate_fixture, steady_big_spec, steady_spec
 
     generate_fixture(steady_spec())
     generate_fixture(steady_big_spec())
+    flag = "--steady-only" if subject == "steady" else "--pump-only"
+    thr_key = "steady_urls_per_sec" if subject == "steady" else "pump_urls_per_sec"
+    sec_key = "steady_elapsed_sec" if subject == "steady" else "pump_elapsed_sec"
     results = {}
     for cpus in (lo, hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir)
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--steady-only"],
+            [sys.executable, os.path.abspath(__file__), flag],
             env=env,
             capture_output=True,
             text=True,
@@ -282,18 +326,18 @@ def run_scaling(sf_dir: str, lo: int, hi: int) -> dict:
         )
         line = out.stdout.strip().splitlines()[-1]
         results[cpus] = json.loads(line)
-    thr_lo = results[lo]["steady_urls_per_sec"]
-    thr_hi = results[hi]["steady_urls_per_sec"]
+    thr_lo = results[lo][thr_key]
+    thr_hi = results[hi][thr_key]
     eff = (thr_hi / thr_lo) / (hi / lo) if thr_lo > 0 else 0.0
     return {
-        "metric": "steady-state crawl scaling efficiency N->4N (sandbox: num_cpus)",
+        "metric": f"{subject} crawl scaling efficiency N->4N (sandbox: num_cpus)",
         "value": round(eff, 3),
         "unit": "efficiency",
         "sf": sf_dir,
         "num_cpus": hi,
         "queries": {
-            f"steady_cpus{lo}": results[lo]["steady_elapsed_sec"],
-            f"steady_cpus{hi}": results[hi]["steady_elapsed_sec"],
+            f"{subject}_cpus{lo}": results[lo][sec_key],
+            f"{subject}_cpus{hi}": results[hi][sec_key],
         },
         "throughput_lo": thr_lo,
         "throughput_hi": thr_hi,
@@ -307,6 +351,8 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--scaling", action="store_true")
     p.add_argument("--steady-only", action="store_true")
+    p.add_argument("--pump-only", action="store_true")
+    p.add_argument("--subject", choices=["steady", "pump"], default="steady")
     p.add_argument("--cpus-lo", type=int, default=4)
     p.add_argument("--cpus-hi", type=int, default=16)
     args = p.parse_args()
@@ -315,9 +361,11 @@ def main() -> None:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
     if args.scaling:
-        out = run_scaling(sf_dir, args.cpus_lo, args.cpus_hi)
+        out = run_scaling(sf_dir, args.cpus_lo, args.cpus_hi, subject=args.subject)
     elif args.steady_only:
         out = run_steady_only(num_cpus)
+    elif args.pump_only:
+        out = run_pump_only(num_cpus)
     else:
         out = run_full(sf_dir, num_cpus)
     print(json.dumps(out))

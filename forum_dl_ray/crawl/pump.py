@@ -145,6 +145,74 @@ class PumpActor:
                 "total": self.n_dispatched}
 
 
+def pump_drain_bench(fixture_dir: str, out_root: str, num_cpus: int,
+                     n_pumps: int | None = None,
+                     rows_per_task: int = 1024) -> dict:
+    """Scaling subject on the DISTRIBUTED pump path (round-2 verdict
+    Next #5): pre-seed the frontier with every fixture URL (untimed —
+    at the north rule's 10^10-URL scale the frontier is already full
+    of discovered work), then time the pumps draining it through the
+    real fetch→parse/asset tasks. Unlike the steady-state Dataset job
+    this includes the full frontier pressure: sharded polls, duplicate
+    re-offers from parse discovery (every discovered URL is already
+    seen → the bloom/cuckoo reject path), politeness clocks, and the
+    O(pumps) coordinator tick. Shards and pumps scale with num_cpus,
+    so the measurement answers 'does the pump architecture keep up
+    when the cluster quadruples'."""
+    from .steady import _make_entries
+
+    n_pumps = n_pumps or max(1, num_cpus // 4)
+    num_shards = max(2, num_cpus // 4)
+    pages_path = os.path.join(fixture_dir, "pages.parquet")
+    shutil.rmtree(out_root, ignore_errors=True)
+    entries_dir = os.path.join(out_root, "entries")
+    images_dir = os.path.join(out_root, "images")
+    os.makedirs(entries_dir, exist_ok=True)
+    os.makedirs(images_dir, exist_ok=True)
+
+    store_box = [put_store(pages_path)]
+    meta = pq.read_table(pages_path, columns=["url", "content_type"],
+                         memory_map=True)
+    frontier = Frontier.create(
+        FrontierConfig(num_shards=num_shards,
+                       capacity_per_shard=max(1_000_000,
+                                              2 * meta.num_rows // num_shards))
+    )
+    # untimed seeding: the drain is the subject, not the driver's
+    # offer loop (discovery-time offers happen inside parse tasks and
+    # ARE in the timed region, as duplicate re-offers)
+    for off in range(0, meta.num_rows, 65536):
+        chunk = meta.slice(off, 65536)
+        frontier.offer(_make_entries(chunk).to_pylist())
+
+    pumps = [
+        PumpActor.options(runtime_env=_STAGE_RUNTIME_ENV).remote(
+            p, frontier, list(range(num_shards))[p::n_pumps], store_box,
+            entries_dir, images_dir, rows_per_task=rows_per_task,
+            max_inflight=max(4, 2 * num_cpus // n_pumps),
+        )
+        for p in range(n_pumps)
+    ]
+    t0 = time.perf_counter()
+    n_total = 0
+    while True:
+        stats = ray.get([p.pump_once.remote() for p in pumps])
+        n_total = sum(s["total"] for s in stats)
+        busy = any(s["dispatched"] or s["inflight"] for s in stats)
+        if not busy and frontier.pending_count() == 0:
+            break
+        if not busy:
+            time.sleep(0.01)
+    elapsed = time.perf_counter() - t0
+    return {
+        "pump_urls": n_total,
+        "pump_pumps": n_pumps,
+        "pump_shards": num_shards,
+        "pump_elapsed_sec": round(elapsed, 3),
+        "pump_urls_per_sec": round(n_total / elapsed, 1) if elapsed > 0 else 0.0,
+    }
+
+
 class MultiPumpCrawler:
     """Crawler variant driven by P distributed pumps (see module doc).
 
