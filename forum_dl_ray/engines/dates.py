@@ -59,7 +59,12 @@ _CTIME_RE = re.compile(
     r"(?:\s+(?P<tz>[A-Z]{2,4}))?\s+(?P<y>\d{4})$"
 )
 _MONTH_NAME_RE = re.compile(
-    r"^(?P<mo>[A-Za-z]{3,9})\.?\s+(?P<d>\d{1,2})(?:st|nd|rd|th)?,?\s+(?P<y>\d{4})"
+    # optional weekday prefix: phpBB's default style is
+    # "Thu May 04, 2023 12:30 pm" (phpbb.py:465-471 feeds it to
+    # dateparser); the prefix is restricted to weekday tokens so a
+    # month name is never mis-consumed as one
+    r"^(?:(?:Mon|Tue(?:s)?|Wed(?:nes)?|Thu(?:rs)?|Fri|Sat(?:ur)?|Sun)(?:day)?,?\s+)?"
+    r"(?P<mo>[A-Za-z]{3,9})\.?\s+(?P<d>\d{1,2})(?:st|nd|rd|th)?,?\s+(?P<y>\d{4})"
     r"(?:,?\s+(?:at\s+)?" + _TIME + r")?$",
     re.I,
 )

@@ -42,6 +42,9 @@ CASES = [
     ("January 2nd, 2024 at 10:03 am", "2024-01-02T10:03:00"),
     ("December 02, 2024, 12:03:00 AM", "2024-12-02T00:03:00"),
     ("Sept 5, 2024", "2024-09-05T00:00:00"),
+    # weekday-prefixed month-name (phpBB default style, phpbb.py:465-471)
+    ("Thu May 04, 2023 12:30 pm", "2023-05-04T12:30:00"),
+    ("Saturday, March 10, 2021, 14:05", "2021-03-10T14:05:00"),
     # day-first
     ("2 January 2024, 10:03", "2024-01-02T10:03:00"),
     ("02 Jan 2024", "2024-01-02T00:00:00"),

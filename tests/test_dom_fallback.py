@@ -252,6 +252,28 @@ def test_realistic_layout_extraction(dialect, markup, expected):
     assert (pid, author, time_iso, content.strip()) == expected
 
 
+PHPBB_REAL_NO_TIME_TAG = """
+<div id="p16" class="post bg1">
+ <div class="postbody">
+  <h3><a href="#p16">Re: topic</a></h3>
+  <p class="author">by <a class="username" href="./memberlist.php?u=3">glen</a> &raquo; Thu May 04, 2023 12:30 pm</p>
+  <div class="content" id="post_content16">plain text</div>
+ </div>
+</div>
+"""
+
+
+def test_phpbb_raquo_date_fallback():
+    # older phpBB skins omit <time>: the reference regex-matches the
+    # text after the raquo and feeds it to dateparser (phpbb.py:465-471)
+    posts = list(html_dom.DIALECT_KERNELS_DOM["phpbb"](parse_dom(PHPBB_REAL_NO_TIME_TAG)))
+    assert len(posts) == 1
+    pid, author, time_iso, _indent, content = posts[0]
+    assert (pid, author, time_iso, content.strip()) == (
+        "p16", "glen", "2023-05-04T12:30:00", "plain text"
+    )
+
+
 def test_realistic_layouts_shuffle_invariant():
     for dialect, markup in [
         ("phpbb", PHPBB_REAL),
