@@ -189,7 +189,13 @@ def pump_drain_bench(fixture_dir: str, out_root: str, num_cpus: int,
         PumpActor.options(runtime_env=_STAGE_RUNTIME_ENV).remote(
             p, frontier, list(range(num_shards))[p::n_pumps], store_box,
             entries_dir, images_dir, rows_per_task=rows_per_task,
-            max_inflight=max(4, 2 * num_cpus // n_pumps),
+            # sized so ONE pump can saturate the whole cluster, not
+            # 1/n_pumps of it: host-affine shard placement means a hot
+            # host's entire stream drains through a single pump (4-host
+            # fixture: hot.delta alone is ~40% of URLs), and dividing
+            # inflight by n_pumps idled half the cluster during that
+            # drain (measured at 16 cpus: 46.7k -> 52.3k urls/s)
+            max_inflight=max(4, 2 * num_cpus),
         )
         for p in range(n_pumps)
     ]
@@ -258,7 +264,11 @@ class MultiPumpCrawler:
                 p, frontier, shard_ids[p::self.n_pumps], store_box,
                 c.entries_dir, c.images_dir,
                 rows_per_task=max(cfg.min_rows_per_task, 64),
-                max_inflight=cfg.max_inflight_waves * 4,
+                # cluster-wide, not /n_pumps: a skewed (hot-host) shard
+                # set must be able to fill every core on its own — see
+                # pump_drain_bench's max_inflight note
+                max_inflight=max(cfg.max_inflight_waves * 4,
+                                 2 * int(ray.cluster_resources().get("CPU", 4))),
                 fetch_assets=cfg.fetch_assets, flaky_rate=cfg.flaky_rate,
                 retries=cfg.retries,
             )
