@@ -357,7 +357,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_dedup_pairs": _simhash_pairs_sql(),
         "image_thumbnails": f"""
-            SELECT image_id, 32 AS thumb_w, 32 AS thumb_h
+            -- shard = the tar-export assignment (ops/export.py
+            -- shard_of_ids): md5_number_lower equals the kernel's
+            -- little-endian low-8-bytes md5 slice, so the export's
+            -- placement function is oracled here (the tar bytes
+            -- themselves are round-trip-tested in tests/test_export.py)
+            SELECT image_id, 32 AS thumb_w, 32 AS thumb_h,
+                   CAST(md5_number_lower(image_id) % 16 AS BIGINT) AS shard
             FROM read_parquet('{img_pq}')
         """,
         "image_exact_dedup": f"""
@@ -625,6 +631,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE token != ''
             GROUP BY token HAVING count(*) >= 200
             ORDER BY n DESC, token
+        """,
+        # HLL register table, modeled exactly: md5_number_lower is the
+        # kernel's low-8-bytes-LE md5 slice; idx = h >> (64-p);
+        # rank = leading zeros of the low 64-p bits + 1 =
+        # 53 - bit_length(low bits) with p=12 (length(bin(x)) is
+        # DuckDB's exact bit length). The float estimate stays a
+        # pytest property (tests/test_sketches.py).
+        "distinct_counts_hll": rf"""
+            WITH dh AS (
+                SELECT md5_number_lower(tok) AS v FROM (
+                    SELECT DISTINCT unnest({tok_list}) AS tok FROM documents
+                ) WHERE tok != ''
+            ), uh AS (
+                SELECT md5_number_lower(CAST(user_id AS VARCHAR)) AS v
+                FROM (SELECT DISTINCT user_id FROM events)
+            ), allh AS (
+                SELECT 'distinct_tokens' AS metric, v FROM dh
+                UNION ALL SELECT 'distinct_users', v FROM uh
+            )
+            SELECT metric, CAST(v >> 52 AS BIGINT) AS idx,
+                   CAST(MAX(CASE WHEN v % 4503599627370496 = 0 THEN 53
+                                 ELSE 53 - length(bin(v % 4503599627370496))
+                            END) AS BIGINT) AS reg
+            FROM allh GROUP BY metric, idx
+            ORDER BY metric, idx
         """,
         "vocab_topk": rf"""
             WITH toks AS (

@@ -1,0 +1,220 @@
+"""Sharded training-data export — WebDataset-style tar shards.
+
+The delivery format large-scale image/caption training jobs consume is
+a directory of tar shards, each holding (sample.jpg, sample.txt,
+sample.json) triples, streamed sequentially by the data loader. The
+reference has nothing like this (its sinks are mail/jsonl files,
+writers/*.py); this op is part of the §2.8 beyond-reference layer the
+graft brief asks for: the export side of a crawl→curate→train corpus.
+
+Ray-Data-first design, sized for the 100 TB case:
+
+- **Deterministic shard assignment**: ``shard = md5_low64(image_id)
+  % n_shards`` (the DuckDB-reproducible hash the simhash family
+  already uses, text.py:246-263) — independent of row order, block
+  layout and cluster width, so re-runs and resumes agree on where
+  every sample lives. (WebDataset packs sequentially; hash assignment
+  is the deliberate deviation that buys order-free resumability —
+  documented here because loaders that rely on within-shard sample
+  order should sort by key, which is also the in-shard order we
+  write.)
+- **One shuffle, payload moves once**: assignment is a vectorized
+  ``map_batches`` column add; ``groupby(shard).map_groups`` then
+  co-locates each shard's rows on one worker, which writes ONE tar —
+  the only all-to-all the op performs, and it is the intrinsic one
+  (packing requires co-location).
+- **Resumable**: every completed shard leaves a ``shard-NNNNN.json``
+  marker (count, payload bytes, sha256). A resumed run reads the
+  marker set (driver-side, O(n_shards) small), broadcasts it, and
+  FILTERS finished shards' rows out before the shuffle — finished
+  payload never leaves the source parquet again.
+- **Byte-deterministic tars**: entries sorted by image_id, USTAR
+  format, mtime=0, uid/gid=0, fixed mode — so shard sha256 is a
+  stable content hash (tested: two exports are byte-identical).
+- **Atomic**: tar written to ``.tmp`` then renamed; marker written
+  last — a killed run leaves either nothing or a complete shard.
+
+``n_shards`` defaults from source parquet metadata (total compressed
+bytes / ``target_shard_bytes``), i.e. it scales with the corpus, not
+with a constant.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import json
+import os
+import tarfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from forum_dl_ray import STAGE_RUNTIME_ENV as _RENV
+
+from .images_ops import images_table_path
+
+_TARGET_SHARD_BYTES = 32 << 20  # sandbox-scale default; at 100 TB use ~1 GiB
+
+
+def shard_of_ids(ids: list[str], n_shards: int) -> np.ndarray:
+    """md5-low-64 % n_shards, equal to DuckDB
+    ``md5_number_lower(id) % n_shards`` (same digest-slice convention
+    as text.py:_md5_token_hashes)."""
+    return np.array(
+        [
+            int.from_bytes(hashlib.md5(i.encode()).digest()[8:16], "little") % n_shards
+            for i in ids
+        ],
+        dtype=np.int64,
+    )
+
+
+def default_n_shards(images_pq: str, target_shard_bytes: int = _TARGET_SHARD_BYTES) -> int:
+    """Shard count from parquet metadata only (no data read)."""
+    md = pq.ParquetFile(images_pq).metadata
+    total = sum(md.row_group(i).total_byte_size for i in range(md.num_row_groups))
+    return int(min(4096, max(8, round(total / target_shard_bytes))))
+
+
+def _marker_path(out_dir: str, shard: int) -> str:
+    return os.path.join(out_dir, f"shard-{shard:05d}.json")
+
+
+def _tar_path(out_dir: str, shard: int) -> str:
+    return os.path.join(out_dir, f"shard-{shard:05d}.tar")
+
+
+def _read_markers(out_dir: str) -> dict[int, dict]:
+    done = {}
+    if not os.path.isdir(out_dir):
+        return done
+    for name in os.listdir(out_dir):
+        if name.startswith("shard-") and name.endswith(".json"):
+            with open(os.path.join(out_dir, name)) as f:
+                m = json.load(f)
+            if os.path.exists(_tar_path(out_dir, m["shard"])):
+                done[m["shard"]] = m
+    return done
+
+
+def _add_entry(tf: tarfile.TarFile, name: str, payload: bytes) -> None:
+    ti = tarfile.TarInfo(name=name)
+    ti.size = len(payload)
+    ti.mtime = 0
+    ti.uid = ti.gid = 0
+    ti.uname = ti.gname = ""
+    ti.mode = 0o644
+    tf.addfile(ti, io.BytesIO(payload))
+
+
+def write_shard_tar(g: pd.DataFrame, out_dir: str) -> pd.DataFrame:
+    """Pack one shard group into a deterministic tar; returns its
+    manifest row. Runs inside map_groups — one task per shard."""
+    shard = int(g["shard"].iloc[0])
+    g = g.sort_values("image_id")
+    buf = io.BytesIO()
+    payload_bytes = 0
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for row in g.itertuples(index=False):
+            img = bytes(row.bytes)
+            cap = (row.caption or "").encode()
+            meta = json.dumps(
+                {"w": int(row.w), "h": int(row.h), "fmt": row.fmt,
+                 "phash": int(row.phash)},
+                sort_keys=True,
+            ).encode()
+            _add_entry(tf, f"{row.image_id}.{row.fmt}", img)
+            _add_entry(tf, f"{row.image_id}.txt", cap)
+            _add_entry(tf, f"{row.image_id}.json", meta)
+            payload_bytes += len(img) + len(cap)
+    raw = buf.getvalue()
+    sha = hashlib.sha256(raw).hexdigest()
+    tmp = _tar_path(out_dir, shard) + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(raw)
+    os.replace(tmp, _tar_path(out_dir, shard))
+    manifest = {
+        "shard": shard,
+        "n_samples": int(len(g)),
+        "payload_bytes": int(payload_bytes),
+        "sha256": sha,
+    }
+    with open(_marker_path(out_dir, shard) + ".tmp", "w") as f:
+        json.dump(manifest, f)
+    os.replace(_marker_path(out_dir, shard) + ".tmp", _marker_path(out_dir, shard))
+    return pd.DataFrame([{**manifest, "resumed": False}])
+
+
+def image_shard_export(
+    sf_dir: str,
+    out_dir: str,
+    n_shards: int | None = None,
+    resume: bool = True,
+) -> pd.DataFrame:
+    """Export the image+caption table to WebDataset-style tar shards.
+
+    Returns the manifest (shard, n_samples, payload_bytes, sha256,
+    resumed) — O(n_shards), driver-small by construction."""
+    src = images_table_path(sf_dir)
+    if n_shards is None:
+        n_shards = default_n_shards(src)
+    os.makedirs(out_dir, exist_ok=True)
+    done = _read_markers(out_dir) if resume else {}
+
+    def assign(batch: pa.Table) -> pa.Table:
+        shard = shard_of_ids(batch["image_id"].to_pylist(), n_shards)
+        batch = batch.append_column("shard", pa.array(shard, pa.int64()))
+        if done:  # prune finished shards before any payload moves
+            keep = ~np.isin(shard, list(done))
+            batch = batch.filter(pa.array(keep))
+        return batch
+
+    ds = rd.read_parquet(src).map_batches(
+        assign, batch_format="pyarrow", batch_size=256, runtime_env=_RENV
+    )
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        return write_shard_tar(g, out_dir)
+
+    written = (
+        ds.groupby("shard")
+        .map_groups(pack, batch_format="pandas", runtime_env=_RENV)
+        .to_pandas()
+    )
+    if written.empty:  # fully-resumed run: no groups reached the packer
+        written = pd.DataFrame(
+            columns=["shard", "n_samples", "payload_bytes", "sha256", "resumed"]
+        )
+    skipped = pd.DataFrame(
+        [{**m, "resumed": True} for m in done.values()],
+        columns=["shard", "n_samples", "payload_bytes", "sha256", "resumed"],
+    )
+    out = pd.concat([written, skipped], ignore_index=True)
+    return out.sort_values("shard").reset_index(drop=True).astype(
+        {"shard": "int64", "n_samples": "int64", "payload_bytes": "int64"}
+    )
+
+
+def read_shards(out_dir: str) -> dict[str, tuple[bytes, str, dict]]:
+    """Test/consumer helper: stream every shard back into
+    {image_id: (bytes, caption, meta)} (loader-side view)."""
+    out: dict[str, tuple[bytes, str, dict]] = {}
+    parts: dict[str, dict] = {}
+    for name in sorted(os.listdir(out_dir)):
+        if not name.endswith(".tar"):
+            continue
+        with tarfile.open(os.path.join(out_dir, name)) as tf:
+            for ti in tf:
+                stem, ext = ti.name.rsplit(".", 1)
+                parts.setdefault(stem, {})[ext] = tf.extractfile(ti).read()
+    for stem, p in parts.items():
+        meta_raw = p.pop("json")
+        cap = p.pop("txt").decode()
+        (_ext, img), = p.items()
+        out[stem] = (img, cap, json.loads(meta_raw))
+    return out

@@ -246,8 +246,10 @@ class ThumbnailStage:
 
 
 def image_thumbnails(sf_dir: str) -> pd.DataFrame:
-    """Thumbnail pipeline; returns (image_id, thumb_w, thumb_h,
-    thumb_n_bytes) — the bytes stay in the pipeline (compare-light)."""
+    """Thumbnail pipeline; returns (image_id, thumb_w, thumb_h, shard)
+    — the bytes stay in the pipeline (compare-light). ``shard`` is the
+    tar-export placement (ops/export.py shard_of_ids), surfaced here so
+    the DuckDB oracle certifies the export's deterministic assignment."""
     ds = _read_images(["image_id", "bytes", "fmt"])
     out = ds.map_batches(
         ThumbnailStage, batch_format="pyarrow", batch_size=_IMG_BATCH,
@@ -255,13 +257,16 @@ def image_thumbnails(sf_dir: str) -> pd.DataFrame:
     )
 
     def project(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+        from .export import shard_of_ids
 
         return pa.table(
             {
                 "image_id": batch["image_id"],
                 "thumb_w": batch["thumb_w"],
                 "thumb_h": batch["thumb_h"],
+                "shard": pa.array(
+                    shard_of_ids(batch["image_id"].to_pylist(), 16), pa.int64()
+                ),
             }
         )
 
