@@ -7,9 +7,10 @@ the shared vocab cache, then pure numpy), emits it as ONE row, and
 the merge is an elementwise ``max`` over the tiny per-batch rows —
 the canonical mergeable-sketch shuffle shape: O(batches × 2^p) bytes
 move regardless of corpus size, never the values themselves. At
-100 TB this is the only way a distinct count fits in memory; at test
-scale the estimate is checked against the exact count in pytest
-(rows-only op: DuckDB cannot reproduce the register hashing).
+100 TB this is the only way a distinct count fits in memory. Value
+hashes are md5 (DuckDB ``md5_number_lower`` convention), so the
+merged REGISTER TABLE is exactly SQL-oracled by the driver; the
+floating-point estimate is checked against exact counts in pytest.
 
 HLL math per Flajolet et al. 2007 (public): p index bits, rank =
 leading-zero count of the remaining bits + 1, registers = max rank
@@ -73,6 +74,17 @@ def _hll_estimate(regs: np.ndarray) -> int:
 def _hash_strings(vals: np.ndarray) -> np.ndarray:
     return np.fromiter(
         (int.from_bytes(hashlib.blake2b(v.encode(), digest_size=8).digest(), "little")
+         for v in vals),
+        dtype=np.uint64, count=len(vals),
+    )
+
+
+def _md5_hash_strings(vals) -> np.ndarray:
+    """Low-8-bytes-little-endian md5 — byte-identical to DuckDB
+    ``md5_number_lower(v)`` (same convention as text.py:_md5_token_hashes),
+    which is what lets the HLL *register table* be SQL-oracled."""
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(v.encode()).digest()[8:16], "little")
          for v in vals),
         dtype=np.uint64, count=len(vals),
     )
@@ -171,10 +183,31 @@ def heavy_hitters_cms(sf_dir: str, min_count: int = 200) -> pd.DataFrame:
     return out.sort_values(["n", "token"], ascending=[False, True]).reset_index(drop=True)
 
 
+def hll_estimates(regs_df: pd.DataFrame) -> dict[str, int]:
+    """Consumer-side estimate from the register table
+    :func:`distinct_counts_hll` returns — {metric: estimate}."""
+    out = {}
+    for metric, g in regs_df.groupby("metric"):
+        regs = np.zeros(_M, dtype=np.uint8)
+        regs[g["idx"].to_numpy()] = g["reg"].to_numpy()
+        out[str(metric)] = _hll_estimate(regs)
+    return out
+
+
 def distinct_counts_hll(sf_dir: str) -> pd.DataFrame:
-    """(metric, estimate) for corpus-scale distinct counts: distinct
+    """HLL register tables for corpus-scale distinct counts: distinct
     whitespace tokens over documents and distinct users over events —
-    each a one-pass HLL with per-batch register rows merged by max."""
+    each a one-pass HLL with per-batch register rows merged by max.
+
+    Returns the merged NONZERO registers as (metric, idx, reg) rows —
+    O(2·2^p) ≈ 8k rows regardless of corpus size. Value hashes are
+    DuckDB-reproducible md5 (``md5_number_lower``), so the register
+    table itself is SQL-oracled exactly (idx = h >> (64-p); rank =
+    53 - bit_length(h mod 2^(64-p)), i.e. leading zeros of the low
+    64-p bits + 1); the *estimate* stays a pytest property
+    (:func:`hll_estimates` — fp-summation order makes int(round(E))
+    a hair nondeterministic across engines, so it is deliberately
+    kept out of the hashed oracle surface)."""
     import pyarrow.compute as pc
 
     def doc_regs(batch: pa.Table) -> pa.Table:
@@ -183,34 +216,35 @@ def distinct_counts_hll(sf_dir: str) -> pd.DataFrame:
         ).combine_chunks().flatten()
         vals = np.unique(np.asarray(toks, dtype=object))
         vals = vals[vals != ""]
-        regs = _hll_registers(_hash_strings(vals))
+        regs = _hll_registers(_md5_hash_strings(vals))
         return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
 
     def event_regs(batch: pa.Table) -> pa.Table:
         uid = np.unique(pc.cast(batch["user_id"], pa.int64())
-                        .to_numpy(zero_copy_only=False)).astype(np.uint64)
-        # integer mix (splitmix64 finalizer) — same role as blake2b
-        with np.errstate(over="ignore"):
-            h = uid + np.uint64(0x9E3779B97F4A7C15)
-            h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-            h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-            h = h ^ (h >> np.uint64(31))
-        return pa.table({"regs": pa.array([_hll_registers(h).tobytes()], pa.binary())})
+                        .to_numpy(zero_copy_only=False))
+        regs = _hll_registers(_md5_hash_strings([str(u) for u in uid]))
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
 
-    def merged(ds: rd.Dataset) -> int:
+    def merged(ds: rd.Dataset) -> np.ndarray:
         rows = ds.to_pandas()["regs"]  # one tiny row per batch
         regs = np.zeros(_M, dtype=np.uint8)
         for blob in rows:
             regs = np.maximum(regs, np.frombuffer(blob, dtype=np.uint8))
-        return _hll_estimate(regs)
+        return regs
 
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
     events = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
-    est_tokens = merged(docs.map_batches(
-        doc_regs, batch_format="pyarrow", runtime_env=_RENV, batch_size=4096))
-    est_users = merged(events.map_batches(
-        event_regs, batch_format="pyarrow", runtime_env=_RENV, batch_size=65536))
-    return pd.DataFrame({
-        "metric": ["distinct_tokens", "distinct_users"],
-        "estimate": pd.Series([est_tokens, est_users], dtype="int64"),
-    })
+    parts = []
+    for metric, regs in (
+        ("distinct_tokens", merged(docs.map_batches(
+            doc_regs, batch_format="pyarrow", runtime_env=_RENV, batch_size=4096))),
+        ("distinct_users", merged(events.map_batches(
+            event_regs, batch_format="pyarrow", runtime_env=_RENV, batch_size=65536))),
+    ):
+        (idx,) = np.nonzero(regs)
+        parts.append(pd.DataFrame({
+            "metric": metric,
+            "idx": idx.astype(np.int64),
+            "reg": regs[idx].astype(np.int64),
+        }))
+    return pd.concat(parts, ignore_index=True)

@@ -1,6 +1,6 @@
 """HyperLogLog sketch ops: register math, merge-associativity, and
-accuracy vs exact distinct counts (rows-only op — DuckDB can't
-reproduce the register hashing, so accuracy is pinned here)."""
+accuracy vs exact distinct counts (the register TABLE is DuckDB-oracled
+by the driver; the float estimate is pinned here)."""
 
 import os
 import sys
@@ -36,9 +36,9 @@ def test_hll_merge_equals_single_pass():
 def test_distinct_counts_hll_vs_exact(ray_session):
     import duckdb
 
-    from forum_dl_ray.ops.sketches import distinct_counts_hll
+    from forum_dl_ray.ops.sketches import distinct_counts_hll, hll_estimates
 
-    out = distinct_counts_hll(SF_DIR).set_index("metric")["estimate"]
+    out = hll_estimates(distinct_counts_hll(SF_DIR))
     con = duckdb.connect()
     exact_tokens = con.execute(rf"""
         SELECT count(DISTINCT t) FROM (
