@@ -79,7 +79,7 @@ class PumpActor:
                  store_box, entries_dir: str, images_dir: str,
                  rows_per_task: int = 512, max_inflight: int = 8,
                  fetch_assets: bool = True, flaky_rate: float = 0.0,
-                 retries: int = 3):
+                 retries: int = 3, start_part: int = 0):
         self.pump_id = pump_id
         self.frontier = frontier
         self.my_shards = [frontier.shards[i] for i in my_shard_ids]
@@ -94,8 +94,19 @@ class PumpActor:
         self.flaky_rate = flaky_rate
         self.retries = retries
         self.inflight: list = []
-        self.part = 0
+        self.part = start_part  # resumed runs continue the numbering
         self.n_dispatched = 0
+
+    def quiesce(self) -> dict:
+        """Drain in-flight tasks to a consistent point: every part file
+        below ``self.part`` is fully written and every frontier offer
+        from those tasks has been applied — exactly the state a
+        frontier snapshot must cover. Returns the part watermark for
+        the checkpoint manifest."""
+        if self.inflight:
+            ray.get(self.inflight)
+            self.inflight = []
+        return {"part": self.part, "total": self.n_dispatched}
 
     def pump_once(self) -> dict:
         """One coordinator tick: reap finished tasks, poll own shards,
@@ -247,12 +258,25 @@ class MultiPumpCrawler:
         self.inner = Crawler(fixture_dir, out_dir, config, seeds=seeds)
         self.n_pumps = max(1, min(n_pumps, (config or CrawlConfig()).num_shards))
 
-    def run(self) -> dict:
+    def run(self, resume: bool = False) -> dict:
+        """``checkpoint_every`` (CrawlConfig) counts coordinator TICKS
+        here (the pump path has no waves; a tick is the analogous
+        quiescable boundary) and ``max_waves`` bounds ticks — giving
+        checkpoint/resume the same semantics and test harness as the
+        wave crawler: quiesce pumps → snapshot frontier → record
+        per-pump part watermarks; resume restores the frontier and
+        deletes part files at-or-above the watermark (work the
+        restored frontier will re-dispatch)."""
         cfg = self.inner.config
         c = self.inner
-        for d in (c.entries_dir, c.images_dir):
-            shutil.rmtree(d, ignore_errors=True)
-            os.makedirs(d, exist_ok=True)
+        start_parts = {p: 0 for p in range(self.n_pumps)}
+        ckpt_tick = 0
+        if resume:
+            ckpt_tick, start_parts = self._resume_prune()
+        else:
+            for d in (c.entries_dir, c.images_dir):
+                shutil.rmtree(d, ignore_errors=True)
+                os.makedirs(d, exist_ok=True)
         frontier = Frontier.create(
             FrontierConfig(num_shards=cfg.num_shards,
                            capacity_per_shard=cfg.capacity_per_shard,
@@ -269,7 +293,10 @@ class MultiPumpCrawler:
                 f"http://{host_of(normalize_url(s['seed_url']))}/"
                 for s in c.seeds
             }))
-        frontier.offer(c.seed_entries())
+        if resume:
+            frontier.restore(os.path.join(c.ckpt_dir, f"tick={ckpt_tick}"))
+        else:
+            frontier.offer(c.seed_entries())
         store_box = [put_store(c.pages_path)]
 
         shard_ids = list(range(cfg.num_shards))
@@ -284,19 +311,27 @@ class MultiPumpCrawler:
                 max_inflight=max(cfg.max_inflight_waves * 4,
                                  2 * int(ray.cluster_resources().get("CPU", 4))),
                 fetch_assets=cfg.fetch_assets, flaky_rate=cfg.flaky_rate,
-                retries=cfg.retries,
+                retries=cfg.retries, start_part=start_parts.get(p, 0),
             )
             for p in range(self.n_pumps)
         ]
         t0 = time.perf_counter()
-        ticks = 0
+        ticks = ckpt_tick
         n_total = 0
         while True:
             stats = ray.get([p.pump_once.remote() for p in pumps])
             ticks += 1
             n_total = sum(s["total"] for s in stats)
             busy = any(s["dispatched"] or s["inflight"] for s in stats)
+            if cfg.checkpoint_every and ticks % cfg.checkpoint_every == 0:
+                self._checkpoint(frontier, pumps, ticks)
             if not busy and frontier.pending_count() == 0:
+                break
+            if cfg.max_waves and ticks - ckpt_tick >= cfg.max_waves:
+                # tick budget (tests use this as the "kill"): drain
+                # in-flight writes so no task is still writing part
+                # files when a resume later prunes by watermark
+                ray.get([p.quiesce.remote() for p in pumps])
                 break
             if not busy:
                 time.sleep(0.01)  # politeness tokens refilling
@@ -316,3 +351,51 @@ class MultiPumpCrawler:
         with open(os.path.join(c.out_dir, "stats.json"), "w") as f:
             json.dump(stats, f, indent=1)
         return stats
+
+    def _checkpoint(self, frontier: Frontier, pumps, tick: int) -> None:
+        """Quiesce → snapshot → manifest, marked atomically (_DONE
+        written last, LATEST_PUMP after — a killed checkpoint leaves
+        either nothing or a complete restore point)."""
+        parts = ray.get([p.quiesce.remote() for p in pumps])
+        d = os.path.join(self.inner.ckpt_dir, f"tick={tick}")
+        shutil.rmtree(d, ignore_errors=True)
+        frontier.snapshot(d)
+        with open(os.path.join(d, "pumps.json"), "w") as f:
+            json.dump({"tick": tick,
+                       "n_pumps": self.n_pumps,
+                       "parts": {str(i): r["part"] for i, r in enumerate(parts)}},
+                      f)
+        with open(os.path.join(d, "_DONE"), "w") as f:
+            f.write("ok")
+        with open(os.path.join(self.inner.ckpt_dir, "LATEST_PUMP"), "w") as f:
+            f.write(str(tick))
+
+    def _resume_prune(self) -> tuple[int, dict[int, int]]:
+        """Load the latest pump checkpoint and delete every part file
+        at-or-above its per-pump watermark (written after the snapshot;
+        the restored frontier re-dispatches that work)."""
+        ckpt_dir = self.inner.ckpt_dir
+        latest = os.path.join(ckpt_dir, "LATEST_PUMP")
+        if not os.path.exists(latest):
+            raise FileNotFoundError(f"no pump checkpoint under {ckpt_dir}")
+        tick = int(open(latest).read().strip())
+        d = os.path.join(ckpt_dir, f"tick={tick}")
+        if not os.path.exists(os.path.join(d, "_DONE")):
+            raise FileNotFoundError(f"incomplete pump checkpoint {d}")
+        with open(os.path.join(d, "pumps.json")) as f:
+            manifest = json.load(f)
+        if manifest["n_pumps"] != self.n_pumps:
+            raise ValueError(
+                f"checkpoint has {manifest['n_pumps']} pumps, crawler has "
+                f"{self.n_pumps} — part watermarks are per-pump")
+        parts = {int(k): int(v) for k, v in manifest["parts"].items()}
+        for root in (self.inner.entries_dir, self.inner.images_dir):
+            for p in range(self.n_pumps):
+                pdir = os.path.join(root, f"pump={p}")
+                if not os.path.isdir(pdir):
+                    continue
+                for name in os.listdir(pdir):
+                    if (name.startswith("part-")
+                            and int(name[5:11]) >= parts.get(p, 0)):
+                        os.remove(os.path.join(pdir, name))
+        return tick, parts

@@ -68,6 +68,31 @@ def test_pump_images_payload(pump_out, micro_golden):
     assert set(imgs["image_id"]) == want
 
 
+def test_pump_resume_equals_uninterrupted(ray_session, micro_dir, micro_golden,
+                                          tmp_path):
+    """Interrupt mid-crawl after a checkpoint (tick budget as the
+    "kill"), resume from it, final outputs identical to the golden
+    walker — the wave crawler's resume gate, on the pump path."""
+    out = str(tmp_path / "pump_resumed")
+    cfg_stop = CrawlConfig(num_shards=4, min_rows_per_task=64,
+                           checkpoint_every=1, max_waves=2)
+    stats1 = MultiPumpCrawler(micro_dir, out, cfg_stop, n_pumps=2).run()
+    assert os.path.exists(os.path.join(out, "checkpoints", "LATEST_PUMP"))
+    # genuinely mid-crawl: the interrupted run must not have finished
+    assert stats1["urls_fetched"] < len(micro_golden.seen)
+    cfg_go = CrawlConfig(num_shards=4, min_rows_per_task=64,
+                         checkpoint_every=3)
+    MultiPumpCrawler(micro_dir, out, cfg_go, n_pumps=2).run(resume=True)
+    df = ordered_items(out).to_pandas()
+    assert df["order_key"].tolist() == [e["order_key"] for e in micro_golden.entries]
+    assert df["content"].tolist() == [e["content"] for e in micro_golden.entries]
+    assert df["title"].tolist() == [e["title"] for e in micro_golden.entries]
+    seen = pq.read_table(os.path.join(out, "seen.parquet")).to_pylist()
+    assert {r["url"]: r["failed"] for r in seen} == micro_golden.seen
+    imgs = images_dataset(out).to_pandas()
+    assert set(imgs["image_id"]) == {g["image_id"] for g in micro_golden.images}
+
+
 def test_pump_parity_mixed_engines(ray_session, tmp_path):
     """All four engine cursor styles through the distributed pumps."""
     fx = generate_fixture(mixed_spec())
