@@ -1,0 +1,204 @@
+"""End-to-end TEXT corpus curation + sharded delivery.
+
+The text-side analog of ops/export.py's image chain: quality gate →
+exact-dedup keeper → MinHash near-dup keeper → resumable parquet
+shard export of the surviving documents. The composition a
+pre-training data pipeline runs end to end before tokenization.
+
+Scale shapes (the ones that matter at 100 TB):
+
+- **One text shuffle, keyed by the export shard.** The survivor
+  stream (doc_id + stats, no text) and the document stream (with
+  text) are BOTH tagged with ``shard = md5(doc_id) % n_shards`` —
+  the same key the export is partitioned by — and a single
+  ``groupby(shard)`` performs the semi-join AND the co-location for
+  writing in one exchange. Text bodies move exactly once;
+  re-bucketing by a second key would move them twice (the
+  pick-one-partitioning-key rule, SURVEY.md §2.5).
+- **Near-dup verdicts are O(pairs).** The MinHash non-keeper set
+  comes from the verified pair list (pairs ≪ corpus by LSH
+  construction) and is broadcast once via ``ray.put``.
+- **Resumable**: per-shard JSON markers; a resumed run prunes
+  finished shards' rows inside the tag stage, BEFORE the shuffle —
+  finished text never leaves the source parquet again.
+- **Deterministic manifests**: shard content hash = sha256 over the
+  doc_id-sorted (doc_id, blake2b(text)) stream — stable across runs,
+  block layouts and pyarrow versions (parquet file bytes are not).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from forum_dl_ray import STAGE_RUNTIME_ENV as _RENV
+
+_TARGET_SHARD_BYTES = 16 << 20  # sandbox-scale; ~1 GiB at 100 TB
+
+
+def neardup_drop_set(sf_dir: str, **kw) -> frozenset:
+    """Doc ids removed by the MinHash near-dup keeper rule (keeper =
+    min doc_id reachable via verified pairs; everything else in a
+    cluster drops). O(pairs) ≪ corpus."""
+    from .dedup import minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(sf_dir, **kw)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return frozenset(d for d in parent if find(d) != d)
+
+
+def corpus_shards_default(sf_dir: str,
+                          target_shard_bytes: int = _TARGET_SHARD_BYTES) -> int:
+    md = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata
+    total = sum(md.row_group(i).total_byte_size for i in range(md.num_row_groups))
+    return int(min(4096, max(4, round(total / target_shard_bytes))))
+
+
+def _marker(out_dir: str, shard: int) -> str:
+    return os.path.join(out_dir, f"shard-{shard:05d}.json")
+
+
+def _read_done(out_dir: str) -> dict[int, dict]:
+    done = {}
+    if not os.path.isdir(out_dir):
+        return done
+    for name in os.listdir(out_dir):
+        if name.startswith("shard-") and name.endswith(".json"):
+            with open(os.path.join(out_dir, name)) as f:
+                m = json.load(f)
+            if os.path.exists(os.path.join(out_dir, f"shard-{m['shard']:05d}.parquet")):
+                done[m["shard"]] = m
+    return done
+
+
+def _shard_of_int_ids(ids: np.ndarray, n_shards: int) -> np.ndarray:
+    """md5-low-64-LE of str(doc_id) — DuckDB
+    ``md5_number_lower(CAST(doc_id AS VARCHAR)) % n`` (the repo-wide
+    SQL-reproducible hash convention, text.py:_md5_token_hashes)."""
+    return np.array(
+        [int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:16], "little")
+         % n_shards for i in ids],
+        dtype=np.int64,
+    )
+
+
+def corpus_curated_export(
+    sf_dir: str,
+    out_dir: str,
+    n_shards: int | None = None,
+    resume: bool = True,
+) -> pd.DataFrame:
+    """Quality ∩ exact-keeper ∩ near-dup-keeper documents, written as
+    doc_id-sorted parquet shards with per-shard manifest markers.
+    Returns the manifest (shard, n_docs, n_chars, sha256, resumed) —
+    O(n_shards), driver-small."""
+    from .queries import corpus_clean
+
+    if n_shards is None:
+        n_shards = corpus_shards_default(sf_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    done = _read_done(out_dir) if resume else {}
+    drop_ref = ray.put(neardup_drop_set(sf_dir))
+
+    def _tag(batch: pa.Table, side: int) -> pa.Table:
+        ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        shard = _shard_of_int_ids(ids, n_shards)
+        text = (batch["text"] if side == 1
+                else pa.array([""] * len(batch), pa.large_string()))
+        t = pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pc.cast(text, pa.large_string()),
+            "side": pa.array(np.full(len(batch), side, dtype=np.int8)),
+            "shard": pa.array(shard, pa.int64()),
+        })
+        if done:  # resumed: finished shards pruned before the shuffle
+            t = t.filter(pa.array(~np.isin(shard, list(done))))
+        return t
+
+    survivors = corpus_clean(sf_dir).map_batches(
+        lambda b: _tag(b, 0), batch_format="pyarrow", runtime_env=_RENV,
+        batch_size=65536,
+    )
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(
+        lambda b: _tag(b, 1), batch_format="pyarrow", runtime_env=_RENV,
+        batch_size=8192,
+    )
+
+    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+        shard = int(g["shard"].iloc[0])
+        surv = set(g.loc[g["side"] == 0, "doc_id"])
+        drop = ray.get(drop_ref)
+        rows = g[(g["side"] == 1)
+                 & g["doc_id"].isin(surv)
+                 & ~g["doc_id"].isin(drop)].sort_values("doc_id")
+        h = hashlib.sha256()
+        for r in rows.itertuples(index=False):
+            h.update(str(r.doc_id).encode())
+            h.update(hashlib.blake2b(r.text.encode(), digest_size=16).digest())
+        path = os.path.join(out_dir, f"shard-{shard:05d}.parquet")
+        pq.write_table(
+            pa.table({"doc_id": pa.array(rows["doc_id"].to_numpy(), pa.int64()),
+                      "text": pa.array(rows["text"], pa.large_string())}),
+            path + ".tmp")
+        os.replace(path + ".tmp", path)
+        manifest = {
+            "shard": shard,
+            "n_docs": int(len(rows)),
+            "n_chars": int(rows["text"].str.len().sum()),
+            "sha256": h.hexdigest(),
+        }
+        with open(_marker(out_dir, shard) + ".tmp", "w") as f:
+            json.dump(manifest, f)
+        os.replace(_marker(out_dir, shard) + ".tmp", _marker(out_dir, shard))
+        return pd.DataFrame([{**manifest, "resumed": False}])
+
+    cols = ["shard", "n_docs", "n_chars", "sha256", "resumed"]
+    written = (
+        survivors.union(docs)
+        .groupby("shard")
+        .map_groups(write_shard, batch_format="pandas", runtime_env=_RENV)
+        .to_pandas()
+    )
+    if written.empty:
+        written = pd.DataFrame(columns=cols)
+    skipped = pd.DataFrame([{**m, "resumed": True} for m in done.values()],
+                           columns=cols)
+    out = pd.concat([written, skipped], ignore_index=True)
+    return out.sort_values("shard").reset_index(drop=True).astype(
+        {"shard": "int64", "n_docs": "int64", "n_chars": "int64"})
+
+
+def read_corpus_shards(out_dir: str) -> pd.DataFrame:
+    """Consumer helper: every shard back as one (doc_id, text) frame."""
+    parts = [
+        pq.read_table(os.path.join(out_dir, n)).to_pandas()
+        for n in sorted(os.listdir(out_dir)) if n.endswith(".parquet")
+    ]
+    if not parts:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "text": pd.Series([], dtype="object")})
+    return pd.concat(parts, ignore_index=True).sort_values(
+        "doc_id").reset_index(drop=True)
