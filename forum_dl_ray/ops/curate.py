@@ -108,11 +108,19 @@ def corpus_curated_export(
     out_dir: str,
     n_shards: int | None = None,
     resume: bool = True,
+    pack_budget: int = 512,
 ) -> pd.DataFrame:
     """Quality ∩ exact-keeper ∩ near-dup-keeper documents, written as
     doc_id-sorted parquet shards with per-shard manifest markers.
-    Returns the manifest (shard, n_docs, n_chars, sha256, resumed) —
-    O(n_shards), driver-small."""
+
+    Shards come out TRAIN-READY: each carries (doc_id, text, n_tokens,
+    pack_id, pack_pos) with the greedy ``pack_budget``-token packing
+    of ops/queries.pack_sequences applied WITHIN the shard — the
+    shard's rows are already co-located and doc_id-sorted at write
+    time, so packing costs zero extra shuffle, and pack ids
+    (shard << 20 | local) stay globally unique with no coordination.
+    Returns the manifest (shard, n_docs, n_chars, n_packs, sha256,
+    resumed) — O(n_shards), driver-small."""
     from .queries import corpus_clean
 
     if n_shards is None:
@@ -158,16 +166,34 @@ def corpus_curated_export(
         for r in rows.itertuples(index=False):
             h.update(str(r.doc_id).encode())
             h.update(hashlib.blake2b(r.text.encode(), digest_size=16).digest())
+        # in-shard greedy packing (pack_sequences' rule: docs never
+        # split; a doc over budget gets its own pack)
+        n_tok = rows["text"].str.count(r"\S+").to_numpy(dtype=np.int64)
+        pack_local = np.empty(len(rows), dtype=np.int64)
+        pack_pos = np.empty(len(rows), dtype=np.int64)
+        cur, fill, pos = 0, 0, 0
+        for i, t in enumerate(n_tok):
+            if fill > 0 and fill + t > pack_budget:
+                cur += 1
+                fill, pos = 0, 0
+            pack_local[i] = cur
+            pack_pos[i] = pos
+            fill += t
+            pos += 1
         path = os.path.join(out_dir, f"shard-{shard:05d}.parquet")
         pq.write_table(
             pa.table({"doc_id": pa.array(rows["doc_id"].to_numpy(), pa.int64()),
-                      "text": pa.array(rows["text"], pa.large_string())}),
+                      "text": pa.array(rows["text"], pa.large_string()),
+                      "n_tokens": pa.array(n_tok, pa.int64()),
+                      "pack_id": pa.array((shard << 20) + pack_local, pa.int64()),
+                      "pack_pos": pa.array(pack_pos, pa.int64())}),
             path + ".tmp")
         os.replace(path + ".tmp", path)
         manifest = {
             "shard": shard,
             "n_docs": int(len(rows)),
             "n_chars": int(rows["text"].str.len().sum()),
+            "n_packs": int(cur + 1) if len(rows) else 0,
             "sha256": h.hexdigest(),
         }
         with open(_marker(out_dir, shard) + ".tmp", "w") as f:
@@ -175,7 +201,7 @@ def corpus_curated_export(
         os.replace(_marker(out_dir, shard) + ".tmp", _marker(out_dir, shard))
         return pd.DataFrame([{**manifest, "resumed": False}])
 
-    cols = ["shard", "n_docs", "n_chars", "sha256", "resumed"]
+    cols = ["shard", "n_docs", "n_chars", "n_packs", "sha256", "resumed"]
     written = (
         survivors.union(docs)
         .groupby("shard")
@@ -188,7 +214,8 @@ def corpus_curated_export(
                            columns=cols)
     out = pd.concat([written, skipped], ignore_index=True)
     return out.sort_values("shard").reset_index(drop=True).astype(
-        {"shard": "int64", "n_docs": "int64", "n_chars": "int64"})
+        {"shard": "int64", "n_docs": "int64", "n_chars": "int64",
+         "n_packs": "int64"})
 
 
 def read_corpus_shards(out_dir: str) -> pd.DataFrame:

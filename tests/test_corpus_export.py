@@ -58,6 +58,25 @@ def test_survivors_match_oracle(export_dir, expected_ids):
     assert all(src.loc[r.doc_id] == r.text for r in sample.itertuples(index=False))
 
 
+def test_pack_invariants(export_dir):
+    """pack_sequences' rule inside every shard: docs never split, pack
+    token totals never exceed the budget except a single over-budget
+    doc, pack_pos consecutive from 0 in doc_id order."""
+    out, manifest = export_dir
+    back = read_corpus_shards(out)
+    assert (back["n_tokens"] == back["text"].str.count(r"\S+")).all()
+    n_packs_seen = 0
+    for pack_id, g in back.groupby("pack_id"):
+        g = g.sort_values("doc_id")
+        assert g["pack_pos"].tolist() == list(range(len(g)))
+        if len(g) > 1:
+            assert g["n_tokens"].sum() <= 512
+        n_packs_seen += 1
+    assert n_packs_seen == int(manifest["n_packs"].sum())
+    # pack ids are globally unique across shards by construction
+    assert (back["pack_id"] // (1 << 20)).isin(manifest["shard"]).all()
+
+
 def test_manifest_deterministic(export_dir, ray_session, tmp_path):
     out, manifest = export_dir
     out2 = str(tmp_path / "again")

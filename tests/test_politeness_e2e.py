@@ -55,3 +55,30 @@ def test_budgeted_crawl_same_outputs_slower(ray_session, fixture_dir, golden, tm
     # (n - burst)/rate seconds of wall time
     min_expected = max(0.0, (beta_urls - rate) / rate)
     assert elapsed >= min_expected * 0.8, (elapsed, beta_urls, min_expected)
+
+
+def test_budgeted_pump_crawl_same_outputs_slower(ray_session, fixture_dir, golden,
+                                                 tmp_path):
+    """Same ST7 contract on the distributed pump path: each shard is
+    polled by exactly one pump, so token buckets see one monotonic
+    clock and the budget binds identically — outputs equal, slower."""
+    from forum_dl_ray.crawl.pump import MultiPumpCrawler
+
+    beta_urls = sum(1 for u in golden.seen if "beta.test" in u)
+    rate = 8.0
+    out = str(tmp_path / "pump_crawl")
+    cfg = CrawlConfig(
+        num_shards=4, min_rows_per_task=64,
+        host_rates={"beta.test": rate},
+    )
+    t0 = time.perf_counter()
+    MultiPumpCrawler(fixture_dir, out, cfg, n_pumps=2).run()
+    elapsed = time.perf_counter() - t0
+
+    seen = {r["url"]: r["failed"] for r in pq.read_table(
+        os.path.join(out, "seen.parquet")).to_pylist()}
+    assert seen == golden.seen
+    df = ordered_items(out).to_pandas()
+    assert df["order_key"].tolist() == [e["order_key"] for e in golden.entries]
+    min_expected = max(0.0, (beta_urls - rate) / rate)
+    assert elapsed >= min_expected * 0.8, (elapsed, beta_urls, min_expected)
