@@ -71,6 +71,8 @@ class CrawlConfig:
     default_rate: float = float("inf")
     host_rates: dict = field(default_factory=dict)
     robots: dict = field(default_factory=dict)  # host -> [disallow prefixes]
+    obey_robots_txt: bool = True   # discover /robots.txt per seed host
+                                   # (config `robots` overrides per host)
     checkpoint_every: int = 0      # waves; 0 = disabled
     flaky_rate: float = 0.0
     retries: int = 3               # in-stage transient-retry budget
@@ -150,7 +152,7 @@ class Crawler:
         )
         for host, rate in cfg.host_rates.items():
             frontier.set_host_policy(host, rate)
-        for host, dis in cfg.robots.items():
+        for host, dis in self._robots_rules().items():
             frontier.set_robots(host, dis)
         if cfg.restrict_to_seeds:
             # M2 same-site scope: every offer must live under a seed site
@@ -334,6 +336,21 @@ class Crawler:
         return stats
 
     # ------------------------------------------------------------- helpers
+    def _robots_rules(self) -> dict[str, list[str]]:
+        """Config robots + per-seed-host /robots.txt discovery from the
+        page store (point lookups, O(hosts)); config wins per host."""
+        cfg = self.config
+        if not cfg.obey_robots_txt or not os.path.exists(self.pages_path):
+            # http-gateway mode has no parquet store; robots over the
+            # real-socket seam stays config-driven for now
+            return dict(cfg.robots)
+        from ..urlnorm import host_of, normalize_url
+        from .robots import merged_robots
+
+        hosts = sorted({host_of(normalize_url(s["seed_url"])) for s in self.seeds})
+        return merged_robots(self.pages_path, hosts, cfg.robots,
+                             user_agent=cfg.user_agent or "forum-dl-ray")
+
     def _write_wave(self, ds: rd.Dataset, root: str, wave: int) -> None:
         d = os.path.join(root, f"wave={wave}")
         shutil.rmtree(d, ignore_errors=True)

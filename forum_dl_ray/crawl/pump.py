@@ -284,7 +284,7 @@ class MultiPumpCrawler:
         )
         for host, rate in cfg.host_rates.items():
             frontier.set_host_policy(host, rate)
-        for host, dis in cfg.robots.items():
+        for host, dis in c._robots_rules().items():
             frontier.set_robots(host, dis)
         if cfg.restrict_to_seeds:
             from ..urlnorm import host_of, normalize_url

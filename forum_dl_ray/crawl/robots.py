@@ -1,0 +1,81 @@
+"""robots.txt discovery + parsing for the crawl frontier.
+
+The reference has no robots support at all (SURVEY.md ST7: politeness
+is a new design element required by the north rule). The frontier
+enforces per-host disallow prefixes at ENQUEUE time
+(frontier/shard.py:_robots_allows); this module supplies those rules
+from actual ``/robots.txt`` documents instead of only from config:
+at seed time the driver looks up each seed host's robots.txt in the
+page store (one point lookup per host — O(hosts), never a scan) and
+merges the parsed rules with any config-provided ones (config wins on
+conflict: an operator override must beat the remote file).
+
+Parser scope (documented subset of RFC 9309): groups of
+``User-agent:`` lines followed by ``Disallow:`` lines; rules from the
+``*`` group plus any group whose agent token is a case-insensitive
+prefix of ours; ``Allow:`` lines and wildcards are NOT implemented —
+the frontier's matcher is prefix-only, so we keep the parse honest to
+what enforcement can express (an unsupported Allow is ignored, which
+only ever makes the crawler MORE conservative).
+"""
+
+from __future__ import annotations
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+def parse_robots(text: str, user_agent: str = "forum-dl-ray") -> list[str]:
+    """Disallow path prefixes applying to ``user_agent`` (lowercased
+    prefix match, per RFC 9309 §2.2.1) plus the ``*`` group. Empty
+    ``Disallow:`` (allow-all) contributes nothing."""
+    ua = user_agent.lower()
+    rules: list[str] = []
+    group_agents: list[str] = []
+    group_open = False  # inside the agent-line run of a group
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not group_open:
+                group_agents = []
+                group_open = True
+            group_agents.append(value.lower())
+        else:
+            group_open = False
+            if field == "disallow" and value:
+                if any(a == "*" or ua.startswith(a) for a in group_agents):
+                    rules.append(value)
+    return rules
+
+
+def discover_robots(pages_path: str, hosts: list[str],
+                    user_agent: str = "forum-dl-ray") -> dict[str, list[str]]:
+    """{host: disallow_prefixes} for every host whose
+    ``http://host/robots.txt`` exists in the page store. Point lookup
+    via a parquet filter on the url column — rows decoded only for the
+    (at most) len(hosts) matches."""
+    if not hosts:
+        return {}
+    wanted = {f"http://{h}/robots.txt": h for h in hosts}
+    t = pq.read_table(pages_path, columns=["url", "body"],
+                      filters=[("url", "in", list(wanted))])
+    out: dict[str, list[str]] = {}
+    for url, body in zip(t["url"].to_pylist(), t["body"].to_pylist()):
+        rules = parse_robots(bytes(body).decode("utf-8", "replace"), user_agent)
+        if rules:
+            out[wanted[url]] = rules
+    return out
+
+
+def merged_robots(pages_path: str, hosts: list[str], config_robots: dict,
+                  user_agent: str = "forum-dl-ray") -> dict[str, list[str]]:
+    """Discovered rules overlaid with config rules; a host present in
+    the config keeps exactly its configured list (operator override)."""
+    out = discover_robots(pages_path, hosts, user_agent)
+    out.update({h: list(v) for h, v in config_robots.items()})
+    return out

@@ -1,0 +1,134 @@
+"""robots.txt discovery + enforcement (crawl/robots.py + frontier ST7).
+
+The reference has no robots support; the north rule requires it. The
+e2e appends a real /robots.txt document to a COPY of the micro
+fixture's page store (specs stay untouched — fixture digests and the
+pinned micro goldens must not move) and asserts disallowed subtrees
+are pruned at enqueue on both crawler paths, while a config override
+still wins."""
+
+import os
+import shutil
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from forum_dl_ray.crawl import CrawlConfig, Crawler
+from forum_dl_ray.crawl.crawler import ordered_items
+from forum_dl_ray.crawl.robots import discover_robots, parse_robots
+from forum_dl_ray.fixtures import generate_fixture, micro_spec
+from forum_dl_ray.fixtures.golden import simulate_fixture_dir
+
+ROBOTS = b"""# test robots
+User-agent: evilbot
+Disallow: /
+
+User-agent: *
+Disallow: /thread/
+Disallow:
+
+User-agent: forum-dl-ray
+User-agent: otherbot
+Disallow: /img/
+"""
+
+
+def test_parse_robots_groups():
+    rules = parse_robots(ROBOTS.decode())
+    # '*' group applies; ua-prefix group applies; evilbot group does
+    # not; empty Disallow contributes nothing
+    assert rules == ["/thread/", "/img/"]
+    # evilbot gets its own group + '*', but NOT the forum-dl-ray group
+    assert parse_robots(ROBOTS.decode(), user_agent="evilbot") == [
+        "/", "/thread/"]
+    assert parse_robots("") == []
+    assert parse_robots("User-agent: *\nAllow: /x\nDisallow: /y") == ["/y"]
+
+
+@pytest.fixture(scope="module")
+def robots_fixture(tmp_path_factory):
+    src = generate_fixture(micro_spec())
+    dst = str(tmp_path_factory.mktemp("robots_fx") / "fx")
+    shutil.copytree(src, dst)
+    pages = os.path.join(dst, "pages.parquet")
+    t = pq.read_table(pages)
+    host = sorted(set(t["host"].to_pylist()))[0]  # alpha.test
+    extra = pa.table({
+        "url": [f"http://{host}/robots.txt"],
+        "host": [host],
+        "kind": ["page"],
+        "engine": ["html-generic"],
+        "body": [ROBOTS],
+        "content_type": ["text/plain"],
+        "status": [200],
+        "next_url": [""],
+    }).cast(t.schema)
+    pq.write_table(pa.concat_tables([t, extra]), pages)
+    return dst, host
+
+
+def test_discover_robots_point_lookup(robots_fixture):
+    fx, host = robots_fixture
+    got = discover_robots(os.path.join(fx, "pages.parquet"), [host, "nosuch.test"])
+    assert got == {host: ["/thread/", "/img/"]}
+
+
+def test_e2e_robots_pruned_and_override(ray_session, robots_fixture, tmp_path):
+    fx, host = robots_fixture
+    golden = simulate_fixture_dir(fx)
+    golden_host_t = {u for u in golden.seen
+                     if u.startswith(f"http://{host}/thread/")}
+    assert golden_host_t, "micro fixture must have /thread/ URLs on the robots host"
+
+    out = str(tmp_path / "obey")
+    stats = Crawler(fx, out, CrawlConfig(num_shards=2, target_tasks=2)).run()
+    # offered-then-denied URLs stay in the seen set (dedup semantics:
+    # a denied URL must not be re-offered forever); the enforcement
+    # contract is that they are never POLLED or FETCHED
+    assert stats["robots_denied"] > 0
+    df = ordered_items(out).to_pandas()
+    pref = f"http://{host}/thread/"
+    assert len(df) > 0
+    # thread ITEM rows (parsed from allowed board pages, url = the
+    # thread's address) legitimately remain; nothing may have been
+    # parsed FROM a disallowed page (origin under the pruned subtree)
+    assert not df["origin"].str.startswith(pref).any()
+    assert len(df) < len(golden.entries)  # posts behind /thread/ gone
+    # other hosts unaffected
+    assert (df["url"].str.contains("beta.test") | df["origin"].str.contains("beta.test")).any()
+
+    # operator override: config wins for that host
+    out2 = str(tmp_path / "override")
+    Crawler(fx, out2, CrawlConfig(num_shards=2, target_tasks=2,
+                                  robots={host: []})).run()
+    seen2 = {r["url"]: r["failed"] for r in pq.read_table(
+        os.path.join(out2, "seen.parquet")).to_pylist()}
+    assert seen2 == golden.seen  # nothing pruned anywhere: golden crawl
+
+    # opt-out flag restores the golden crawl exactly
+    out3 = str(tmp_path / "optout")
+    Crawler(fx, out3, CrawlConfig(num_shards=2, target_tasks=2,
+                                  obey_robots_txt=False)).run()
+    seen3 = {r["url"]: r["failed"] for r in pq.read_table(
+        os.path.join(out3, "seen.parquet")).to_pylist()}
+    assert seen3 == golden.seen
+
+
+def test_pump_obeys_robots(ray_session, robots_fixture, tmp_path):
+    from forum_dl_ray.crawl.pump import MultiPumpCrawler
+
+    fx, host = robots_fixture
+    golden = simulate_fixture_dir(fx)
+    golden_host_t = {u for u in golden.seen if u.startswith(f"http://{host}/thread/")}
+    out = str(tmp_path / "pump_obey")
+    MultiPumpCrawler(fx, out, CrawlConfig(num_shards=4, min_rows_per_task=64),
+                     n_pumps=2).run()
+    df = ordered_items(out).to_pandas()
+    pref = f"http://{host}/thread/"
+    assert len(df) > 0
+    assert not df["origin"].str.startswith(pref).any()
+    assert len(df) < len(golden.entries)
