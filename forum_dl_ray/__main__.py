@@ -45,6 +45,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="write files outside post content (default: False)")
     p.add_argument("--host-rate", action="append", default=[],
                    metavar="HOST=RATE", help="politeness tokens/sec per host")
+    p.add_argument("--ignore-robots-txt", action="store_true",
+                   help="skip per-host /robots.txt discovery (beyond-reference\n"
+                        "politeness layer; rules otherwise apply at enqueue)")
     p.add_argument("--list-extractors", action="store_true")
     p.add_argument("--list-output-formats", action="store_true")
     p.add_argument("--num-shards", type=int, default=4)
@@ -114,6 +117,7 @@ def main(argv: list[str] | None = None) -> int:
                 author_as_addr_spec=args.author_as_addr_spec,
                 get_urls=args.get_urls,
                 host_rates=host_rates,
+                obey_robots_txt=not args.ignore_robots_txt,
                 num_shards=args.num_shards,
                 write_boards=args.boards,
                 write_threads=args.threads,

@@ -37,6 +37,7 @@ class DownloadOptions:
     get_urls: bool = False
     host_rates: dict = field(default_factory=dict)
     robots: dict = field(default_factory=dict)
+    obey_robots_txt: bool = True  # discover /robots.txt per seed host
     num_shards: int = 4
     download_time: str = "2026-01-01T00:00:00+00:00"
     # M23 item-kind routing (reference writers/common.py:101-105,135-145
@@ -162,6 +163,7 @@ def download(
         num_shards=opts.num_shards,
         host_rates=dict(opts.host_rates),
         robots=dict(opts.robots),
+        obey_robots_txt=opts.obey_robots_txt,
         fetch_assets=not (opts.get_urls or output_format == "urls"),
         retries=opts.retries,
         backoff_base=opts.retry_sleep,
