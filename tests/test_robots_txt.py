@@ -132,3 +132,48 @@ def test_pump_obeys_robots(ray_session, robots_fixture, tmp_path):
     assert len(df) > 0
     assert not df["origin"].str.startswith(pref).any()
     assert len(df) < len(golden.entries)
+
+
+# ------------------------------------------------------- property tests
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_path = st.from_regex(r"/[a-z0-9/]{0,12}", fullmatch=True)
+_agent = st.sampled_from(["*", "forum-dl-ray", "forum", "evilbot", "x"])
+_group = st.tuples(st.lists(_agent, min_size=1, max_size=3),
+                   st.lists(_path, min_size=0, max_size=4))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_group, min_size=0, max_size=5))
+def test_parse_robots_group_semantics(groups):
+    """Reference model: a group's Disallow rules apply iff any of its
+    agent tokens is '*' or a lowercase prefix of ours; rules keep file
+    order; non-empty only."""
+    text = "\n".join(
+        "\n".join([f"User-agent: {a}" for a, _ in [(a, None) for a in agents]]
+                  + [f"Disallow: {p}" for p in paths])
+        for agents, paths in groups
+    )
+    ua = "forum-dl-ray"
+    # RFC 9309: consecutive User-agent lines form ONE group, so a
+    # rule-less group's agents merge into the next group that has
+    # rules (hypothesis found this — blank lines don't split groups)
+    merged, pending = [], []
+    for agents, paths in groups:
+        pending += agents
+        if paths:
+            merged.append((pending, paths))
+            pending = []
+    want = [p for agents, paths in merged
+            if any(a == "*" or ua.startswith(a) for a in agents)
+            for p in paths if p]
+    assert parse_robots(text, user_agent=ua) == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)),
+               max_size=400))
+def test_parse_robots_never_raises(text):
+    rules = parse_robots(text)
+    assert all(isinstance(r, str) and r for r in rules)
