@@ -109,9 +109,12 @@ def corpus_curated_export(
     n_shards: int | None = None,
     resume: bool = True,
     pack_budget: int = 512,
+    decontaminate_min_hits: int | None = None,
 ) -> pd.DataFrame:
-    """Quality ∩ exact-keeper ∩ near-dup-keeper documents, written as
-    doc_id-sorted parquet shards with per-shard manifest markers.
+    """Quality ∩ exact-keeper ∩ near-dup-keeper documents (minus
+    benchmark-contaminated docs when ``decontaminate_min_hits`` is
+    set), written as doc_id-sorted parquet shards with per-shard
+    manifest markers.
 
     Shards come out TRAIN-READY: each carries (doc_id, text, n_tokens,
     pack_id, pack_pos) with the greedy ``pack_budget``-token packing
@@ -127,7 +130,17 @@ def corpus_curated_export(
         n_shards = corpus_shards_default(sf_dir)
     os.makedirs(out_dir, exist_ok=True)
     done = _read_done(out_dir) if resume else {}
-    drop_ref = ray.put(neardup_drop_set(sf_dir))
+    drop = set(neardup_drop_set(sf_dir))
+    if decontaminate_min_hits is not None:
+        # benchmark-decontamination stage: the hit list is O(docs
+        # sharing grams with the tiny held-out set) — broadcastable
+        # exactly like the near-dup verdicts it joins here
+        from .dedup import decontaminate_hits
+
+        hits = decontaminate_hits(sf_dir)
+        drop |= set(hits.loc[hits["n_hit"] >= decontaminate_min_hits, "doc_id"]
+                    .astype(int))
+    drop_ref = ray.put(frozenset(drop))
 
     def _tag(batch: pa.Table, side: int) -> pa.Table:
         ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)

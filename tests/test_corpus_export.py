@@ -85,6 +85,20 @@ def test_manifest_deterministic(export_dir, ray_session, tmp_path):
     assert manifest["n_docs"].tolist() == m2["n_docs"].tolist()
 
 
+def test_decontamination_stage(ray_session, tmp_path, expected_ids):
+    from forum_dl_ray.ops.dedup import decontaminate_hits
+
+    hits = decontaminate_hits(SF_DIR)
+    contaminated = set(hits.loc[hits["n_hit"] >= 1, "doc_id"].astype(int))
+    assert contaminated, "fixture must exercise the decontamination path"
+    out = str(tmp_path / "decon")
+    m = corpus_curated_export(SF_DIR, out, n_shards=N_SHARDS,
+                              decontaminate_min_hits=1)
+    back = read_corpus_shards(out)
+    assert set(back["doc_id"]) == expected_ids - contaminated
+    assert int(m["n_docs"].sum()) == len(expected_ids - contaminated)
+
+
 def test_resume_skips_finished(export_dir, ray_session, tmp_path):
     out, manifest = export_dir
     out3 = str(tmp_path / "resume")
