@@ -75,9 +75,18 @@ def shard_of_ids(ids: list[str], n_shards: int) -> np.ndarray:
 
 
 def default_n_shards(images_pq: str, target_shard_bytes: int = _TARGET_SHARD_BYTES) -> int:
-    """Shard count from parquet metadata only (no data read)."""
-    md = pq.ParquetFile(images_pq).metadata
-    total = sum(md.row_group(i).total_byte_size for i in range(md.num_row_groups))
+    """Shard count from parquet metadata only (no data read). Accepts
+    a single file or a directory tree (a crawl's images output)."""
+    if os.path.isdir(images_pq):
+        files = [os.path.join(r, f) for r, _, fs in os.walk(images_pq)
+                 for f in fs if f.endswith(".parquet")]
+    else:
+        files = [images_pq]
+    total = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        total += sum(md.row_group(i).total_byte_size
+                     for i in range(md.num_row_groups))
     return int(min(4096, max(8, round(total / target_shard_bytes))))
 
 
@@ -156,6 +165,7 @@ def image_shard_export(
     n_shards: int | None = None,
     resume: bool = True,
     drop_ids: frozenset[str] | None = None,
+    src: str | None = None,
 ) -> pd.DataFrame:
     """Export the image+caption table to WebDataset-style tar shards.
 
@@ -167,7 +177,7 @@ def image_shard_export(
     construction."""
     import ray as _ray
 
-    src = images_table_path(sf_dir)
+    src = src or images_table_path(sf_dir)
     if n_shards is None:
         n_shards = default_n_shards(src)
     os.makedirs(out_dir, exist_ok=True)
@@ -218,6 +228,7 @@ def curated_shard_export(
     n_shards: int | None = None,
     max_hamming: int = 12,
     resume: bool = True,
+    src: str | None = None,
 ) -> pd.DataFrame:
     """The end-to-end image-curation delivery pipeline: pHash near-dup
     clustering → keep the highest-resolution member per cluster
@@ -230,7 +241,8 @@ def curated_shard_export(
 
     return image_shard_export(
         sf_dir, out_dir, n_shards=n_shards, resume=resume,
-        drop_ids=image_dedup_drop_set(sf_dir, max_hamming),
+        drop_ids=image_dedup_drop_set(sf_dir, max_hamming, src=src),
+        src=src,
     )
 
 

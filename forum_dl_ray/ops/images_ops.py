@@ -47,8 +47,12 @@ def images_table_path(sf_dir: str | None = None) -> str:
     return os.path.join(generate_fixture(small_spec()), "images.parquet")
 
 
-def _read_images(columns=None) -> rd.Dataset:
-    return rd.read_parquet(images_table_path(), columns=columns)
+def _read_images(columns=None, src: str | None = None) -> rd.Dataset:
+    """``src`` overrides the fixture table: a parquet file OR a
+    directory tree (e.g. a crawl run's ``out/images`` — the crawl's
+    asset stage emits exactly the input_hint schema, assets.py:53-64,
+    so every curation op here runs unchanged on crawl output)."""
+    return rd.read_parquet(src or images_table_path(), columns=columns)
 
 
 def image_decode_stats(sf_dir: str) -> pd.DataFrame:
@@ -134,13 +138,14 @@ def image_psnr_check(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("image_id").reset_index(drop=True)
 
 
-def image_phash_neardup(sf_dir: str, max_hamming: int = 12) -> pd.DataFrame:
+def image_phash_neardup(sf_dir: str, max_hamming: int = 12,
+                        src: str | None = None) -> pd.DataFrame:
     """Near-duplicate images via 64-bit pHash banding (4×16-bit bucket
     keys → shared-bucket candidates → exact hamming verify) — the same
     LSH-bucket shuffle pattern as text simhash dedup."""
     from .dedup import _lsh_candidate_pairs
 
-    ds = _read_images(["image_id", "phash"])
+    ds = _read_images(["image_id", "phash"], src)
 
     def explode(batch: pa.Table) -> pa.Table:
         import hashlib
@@ -197,7 +202,7 @@ def image_phash_neardup(sf_dir: str, max_hamming: int = 12) -> pd.DataFrame:
         return batch.filter(pa.array(mask)).append_column(
             "id_num", pa.array(nums[mask], pa.int64()))
 
-    cand_rows = _read_images(["image_id", "phash"]).map_batches(
+    cand_rows = _read_images(["image_id", "phash"], src).map_batches(
         only_candidates, batch_format="pyarrow", batch_size=8192, runtime_env=_RENV
     ).to_pandas()
     num2id = dict(zip(cand_rows["id_num"], cand_rows["image_id"]))
@@ -394,7 +399,8 @@ def video_frame_sample(sf_dir: str) -> rd.Dataset:
     )
 
 
-def image_phash_clusters(sf_dir: str, max_hamming: int = 12) -> rd.Dataset:
+def image_phash_clusters(sf_dir: str, max_hamming: int = 12,
+                         src: str | None = None) -> rd.Dataset:
     """(image_id, cluster_id) — connected components over the verified
     pHash near-dup pairs, cluster_id = the lexicographically smallest
     member. Same scale shape as text ``minhash_clusters``
@@ -404,7 +410,7 @@ def image_phash_clusters(sf_dir: str, max_hamming: int = 12) -> rd.Dataset:
     the corpus — the result stays a Dataset."""
     import ray as _ray
 
-    pairs = image_phash_neardup(sf_dir, max_hamming)
+    pairs = image_phash_neardup(sf_dir, max_hamming, src=src)
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -427,12 +433,13 @@ def image_phash_clusters(sf_dir: str, max_hamming: int = 12) -> rd.Dataset:
         return pa.table({"image_id": pa.array(ids, pa.string()),
                          "cluster_id": pa.array(cluster, pa.string())})
 
-    return _read_images(["image_id"]).map_batches(
+    return _read_images(["image_id"], src).map_batches(
         assign, batch_format="pyarrow", runtime_env=_RENV, batch_size=8192
     )
 
 
-def image_dedup_drop_set(sf_dir: str, max_hamming: int = 12) -> frozenset:
+def image_dedup_drop_set(sf_dir: str, max_hamming: int = 12,
+                         src: str | None = None) -> frozenset:
     """Non-keeper image_ids under the curation rule "one keeper per
     pHash near-dup cluster: the highest-resolution member (max w·h,
     ties to the smallest image_id)". O(near-dups) ≪ corpus by LSH
@@ -444,7 +451,7 @@ def image_dedup_drop_set(sf_dir: str, max_hamming: int = 12) -> frozenset:
     set."""
     import ray as _ray
 
-    pairs = image_phash_neardup(sf_dir, max_hamming)
+    pairs = image_phash_neardup(sf_dir, max_hamming, src=src)
     clustered: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -467,7 +474,7 @@ def image_dedup_drop_set(sf_dir: str, max_hamming: int = 12) -> frozenset:
         keep = pd.Series(batch["image_id"].to_pylist()).isin(mem)
         return batch.filter(pa.array(keep.to_numpy()))
 
-    meta = _read_images(["image_id", "w", "h"]).map_batches(
+    meta = _read_images(["image_id", "w", "h"], src).map_batches(
         member_meta, batch_format="pyarrow", runtime_env=_RENV, batch_size=8192
     ).to_pandas()  # O(clustered ids) — tiny by LSH construction
     meta["root"] = meta["image_id"].map({m: find(m) for m in members})
@@ -478,21 +485,22 @@ def image_dedup_drop_set(sf_dir: str, max_hamming: int = 12) -> frozenset:
     return frozenset(meta["image_id"]) - frozenset(keepers)
 
 
-def image_dedup_keepers(sf_dir: str, max_hamming: int = 12) -> rd.Dataset:
+def image_dedup_keepers(sf_dir: str, max_hamming: int = 12,
+                        src: str | None = None) -> rd.Dataset:
     """Surviving image_ids under :func:`image_dedup_drop_set`'s rule —
     singletons plus one highest-resolution keeper per near-dup
     cluster. The drop set (≪ corpus) is broadcast and filtered
     against the streaming corpus scan; output stays a Dataset."""
     import ray as _ray
 
-    drop_ref = _ray.put(image_dedup_drop_set(sf_dir, max_hamming))
+    drop_ref = _ray.put(image_dedup_drop_set(sf_dir, max_hamming, src=src))
 
     def keep_only(batch: pa.Table) -> pa.Table:
         drop = _ray.get(drop_ref)
         keep = ~pd.Series(batch["image_id"].to_pylist()).isin(drop)
         return batch.filter(pa.array(keep.to_numpy()))
 
-    return _read_images(["image_id"]).map_batches(
+    return _read_images(["image_id"], src).map_batches(
         keep_only, batch_format="pyarrow", runtime_env=_RENV, batch_size=8192
     )
 
