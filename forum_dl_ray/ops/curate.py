@@ -70,8 +70,19 @@ def neardup_drop_set(sf_dir: str, **kw) -> frozenset:
 
 def corpus_shards_default(sf_dir: str,
                           target_shard_bytes: int = _TARGET_SHARD_BYTES) -> int:
-    md = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata
-    total = sum(md.row_group(i).total_byte_size for i in range(md.num_row_groups))
+    """Metadata-only shard count; documents.parquet may be a single
+    file or a parquet directory (crawl-derived corpora)."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(path):
+        files = [os.path.join(r, f) for r, _, fs in os.walk(path)
+                 for f in fs if f.endswith(".parquet")]
+    else:
+        files = [path]
+    total = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        total += sum(md.row_group(i).total_byte_size
+                     for i in range(md.num_row_groups))
     return int(min(4096, max(4, round(total / target_shard_bytes))))
 
 
@@ -229,6 +240,52 @@ def corpus_curated_export(
     return out.sort_values("shard").reset_index(drop=True).astype(
         {"shard": "int64", "n_docs": "int64", "n_chars": "int64",
          "n_packs": "int64"})
+
+
+def crawl_documents_table(crawl_out: str, dest_root: str) -> str:
+    """Materialize a crawl run's POST contents as a documents table so
+    the whole text-curation chain runs over crawl output with zero
+    adapters (every reader in ops/ opens ``<dir>/documents.parquet``
+    via ray.data, which accepts the parquet DIRECTORY this writes).
+
+    doc_id = low-62-bit blake2b of (origin, subpath) — deterministic,
+    independent of crawl order / pump count, collision probability
+    ~n²/2⁶² (negligible to 10^9 posts). Returns the sf_dir-shaped
+    directory."""
+    from ..crawl.crawler import entries_dataset
+
+    doc_dir = os.path.join(dest_root, "documents.parquet")
+    import shutil
+
+    shutil.rmtree(doc_dir, ignore_errors=True)
+    os.makedirs(doc_dir, exist_ok=True)
+
+    def project(batch: pa.Table) -> pa.Table:
+        keys = [f"{o}\x00{s}" for o, s in
+                zip(batch["origin"].to_pylist(), batch["subpath"].to_pylist())]
+        ids = np.array(
+            [int.from_bytes(hashlib.blake2b(k.encode(), digest_size=8).digest(),
+                            "little") >> 2 for k in keys],
+            dtype=np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pc.cast(batch["content"], pa.large_string())})
+
+    import pyarrow.fs as pafs
+
+    (entries_dataset(crawl_out)
+     .filter(expr="type == 'post'")
+     .map_batches(project, batch_format="pyarrow", runtime_env=_RENV,
+                  batch_size=8192)
+     .write_parquet(doc_dir, filesystem=pafs.LocalFileSystem()))
+    return dest_root
+
+
+def crawl_corpus_export(crawl_out: str, out_dir: str, **kw) -> pd.DataFrame:
+    """The text half of crawl→curate→train: quality ∩ exact-keeper ∩
+    near-dup-keeper over the crawl's own post contents, delivered as
+    train-ready packed shards (see :func:`corpus_curated_export`)."""
+    sf_like = crawl_documents_table(crawl_out, os.path.join(out_dir, "_docs"))
+    return corpus_curated_export(sf_like, out_dir, **kw)
 
 
 def read_corpus_shards(out_dir: str) -> pd.DataFrame:

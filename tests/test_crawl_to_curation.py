@@ -57,3 +57,32 @@ def test_resume_over_crawl_output(crawl_out, tmp_path):
     m2 = curated_shard_export(None, shards_dir, src=images_dir)
     assert set(m2[~m2["resumed"]]["shard"]) == {victim}
     assert m2["sha256"].tolist() == m1["sha256"].tolist()
+
+
+def test_crawl_corpus_export(crawl_out, tmp_path):
+    """Text half: the crawl's post contents, curated + packed."""
+    import hashlib
+
+    from forum_dl_ray.ops.curate import crawl_corpus_export, read_corpus_shards
+
+    fx, out = crawl_out
+    golden = simulate_fixture_dir(fx)
+    shards_dir = str(tmp_path / "text_shards")
+    manifest = crawl_corpus_export(out, shards_dir)
+    back = read_corpus_shards(shards_dir)
+
+    posts = [e for e in golden.entries if e["type"] == "post"]
+    want_ids = {
+        int.from_bytes(hashlib.blake2b(
+            f"{e['origin']}\x00{e['subpath']}".encode(), digest_size=8
+        ).digest(), "little") >> 2: e["content"]
+        for e in posts
+    }
+    # every exported doc is a real crawl post with its exact content
+    got = dict(zip(back["doc_id"], back["text"]))
+    assert set(got) <= set(want_ids)
+    assert all(want_ids[i] == t for i, t in got.items())
+    # the curation gates actually bit (micro posts are short/templated)
+    assert 0 < len(got) <= len(want_ids)
+    assert int(manifest["n_docs"].sum()) == len(got)
+    assert (back["pack_id"] >= 0).all()
