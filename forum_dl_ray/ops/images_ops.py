@@ -309,6 +309,85 @@ class FakeEmbedStage:
         )
 
 
+def image_ann_topk(sf_dir: str, query_ids: list[str] | None = None, k: int = 5,
+                   src: str | None = None) -> pd.DataFrame:
+    """Similarity search on the IMAGE axis: brute-force cosine top-k of
+    every image against a handful of query images — the visual-dedup /
+    retrieval primitive, mirroring ``similarity.brute_topk``'s scale
+    shape. Query vectors come from a PUSHED-DOWN point read (only the
+    query rows' payloads are decoded twice), are broadcast via
+    ``ray.put``, and the corpus streams ONCE through the embed actor
+    pool with a per-batch matmul + local top-k combiner; the driver
+    reduce sees O(batches·|Q|·k) rows, never the corpus. Returns
+    (query_id, image_id, rank, sim_e6); self-matches excluded.
+    Deterministic (stub encoder), pinned against an in-test exact
+    brute force."""
+    import pyarrow.compute as _pc
+
+    import ray as _ray
+
+    if query_ids is None:
+        # deterministic default: first 3 ids in lexicographic order
+        ids_ds = _read_images(["image_id"], src).to_pandas()
+        query_ids = sorted(ids_ds["image_id"])[:3]
+    qset = list(query_ids)
+
+    def only_queries(batch: pa.Table) -> pa.Table:
+        keep = _pc.is_in(batch["image_id"], value_set=pa.array(qset))
+        return batch.filter(keep)
+
+    q_rows = (_read_images(["image_id", "bytes", "fmt"], src)
+              .map_batches(only_queries, batch_format="pyarrow",
+                           runtime_env=_RENV, batch_size=_IMG_BATCH)
+              .map_batches(FakeEmbedStage, batch_format="pyarrow",
+                           batch_size=_IMG_BATCH, concurrency=1,
+                           runtime_env=_RENV)
+              .to_pandas())  # |Q| rows — tiny
+    q_rows = q_rows.set_index("image_id").loc[qset]
+    qm = np.array([np.asarray(v, dtype=np.float32) for v in q_rows["embedding"]])
+    qn = qm / np.maximum(1e-9, np.linalg.norm(qm, axis=1, keepdims=True))
+    q_ref = _ray.put((qset, qn))
+
+    class EmbedTopK:
+        """Embed + local top-k in ONE actor stage (payload decoded
+        once; only (query, candidate, sim) rows leave the worker)."""
+
+        def __init__(self):
+            self.embed = FakeEmbedStage()
+            self.qids, self.qn = _ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = self.embed(batch)
+            ids = np.array(emb["image_id"].to_pylist())
+            m = np.array([np.asarray(v, dtype=np.float32)
+                          for v in emb["embedding"].to_pylist()])
+            mn = m / np.maximum(1e-9, np.linalg.norm(m, axis=1, keepdims=True))
+            sims = mn @ self.qn.T  # (batch, |Q|)
+            out_q, out_i, out_s = [], [], []
+            for qi, qid in enumerate(self.qids):
+                col = sims[:, qi]
+                mask = ids != qid  # no self-match
+                order = np.lexsort((ids[mask], -col[mask]))[:k]
+                sel = np.nonzero(mask)[0][order]
+                out_q += [qid] * len(sel)
+                out_i += list(ids[sel])
+                out_s += [int(round(s * 1e6)) for s in col[sel]]
+            return pa.table({"query_id": pa.array(out_q, pa.string()),
+                             "image_id": pa.array(out_i, pa.string()),
+                             "sim_e6": pa.array(out_s, pa.int64())})
+
+    parts = (_read_images(["image_id", "bytes", "fmt"], src)
+             .map_batches(EmbedTopK, batch_format="pyarrow",
+                          batch_size=_IMG_BATCH, concurrency=2,
+                          runtime_env=_RENV)
+             .to_pandas())  # O(batches * |Q| * k)
+    parts = parts.sort_values(["query_id", "sim_e6", "image_id"],
+                              ascending=[True, False, True])
+    top = parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount().astype("int64")
+    return top[["query_id", "image_id", "rank", "sim_e6"]]
+
+
 def image_embeddings(sf_dir: str) -> pd.DataFrame:
     ds = _read_images(["image_id", "bytes", "fmt"])
     out = ds.map_batches(

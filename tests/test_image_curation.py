@@ -90,3 +90,41 @@ def test_curated_export_roundtrip(ray_session, tmp_path, source_df):
         img, cap, meta = back[i]
         assert img == bytes(src.loc[i, "bytes"])
         assert cap == (src.loc[i, "caption"] or "")
+
+
+def test_image_ann_topk_vs_bruteforce(ray_session, source_df):
+    """Exact in-test oracle: embed everything with the same stub
+    encoder, full cosine matrix, compare top-k per query."""
+    import numpy as np
+    import pyarrow as pa
+
+    from forum_dl_ray.images import decode_image, resize_nearest
+    from forum_dl_ray.ops.images_ops import FakeEmbedStage, image_ann_topk
+
+    got = image_ann_topk(None, k=5)
+    assert set(got.columns) == {"query_id", "image_id", "rank", "sim_e6"}
+    qids = sorted(source_df["image_id"])[:3]
+    assert sorted(got["query_id"].unique()) == qids
+
+    # exact brute force
+    stage = FakeEmbedStage()
+    tbl = pa.Table.from_pandas(source_df[["image_id", "bytes", "fmt"]])
+    emb = stage(tbl)
+    ids = np.array(emb["image_id"].to_pylist())
+    m = np.array([np.asarray(v, dtype=np.float32)
+                  for v in emb["embedding"].to_pylist()])
+    mn = m / np.maximum(1e-9, np.linalg.norm(m, axis=1, keepdims=True))
+    for qid in qids:
+        qv = mn[ids == qid][0]
+        sims = mn @ qv
+        mask = ids != qid
+        order = np.lexsort((ids[mask], -sims[mask]))[:5]
+        want = list(ids[mask][order])
+        have = got[got["query_id"] == qid].sort_values("rank")["image_id"].tolist()
+        assert have == want, (qid, have, want)
+
+
+def test_image_ann_topk_deterministic(ray_session):
+    from forum_dl_ray.ops.images_ops import image_ann_topk
+
+    assert image_ann_topk(None, k=3).equals(image_ann_topk(None, k=3))
