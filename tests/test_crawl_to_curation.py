@@ -86,3 +86,16 @@ def test_crawl_corpus_export(crawl_out, tmp_path):
     assert 0 < len(got) <= len(want_ids)
     assert int(manifest["n_docs"].sum()) == len(got)
     assert (back["pack_id"] >= 0).all()
+
+
+def test_image_ann_over_crawl_output(crawl_out):
+    from forum_dl_ray.ops.images_ops import image_ann_topk
+
+    fx, out = crawl_out
+    images_dir = os.path.join(out, "images")
+    top = image_ann_topk(None, k=3, src=images_dir)
+    assert len(top["query_id"].unique()) == 3
+    assert (top.groupby("query_id").size() <= 3).all()
+    assert (top["sim_e6"] <= 1_000_000).all()
+    # repeatable over the same crawl output
+    assert top.equals(image_ann_topk(None, k=3, src=images_dir))
