@@ -22,10 +22,12 @@ process cannot feed ~10M urls/s. This module shards the PUMP itself:
   (all pumps idle ∧ no tasks in flight ∧ frontier drained) — O(P) per
   tick instead of O(urls).
 
-Checkpoint/resume stays on the wave crawler (the two share every
-kernel and the frontier snapshot format); this path trades
-checkpointing for pump scalability and is benchmarked/verified against
-the same goldens (tests/test_pump.py).
+Checkpoint/resume works here too, via tick quiesce: every
+``checkpoint_every`` coordinator ticks the pumps drain their in-flight
+tasks to a consistent point, the frontier is snapshotted, and each
+pump's part-file watermark goes into the manifest; resume restores the
+frontier and prunes part files at-or-above the watermark. Same snapshot
+format and test harness as the wave crawler (tests/test_pump.py).
 """
 
 from __future__ import annotations
@@ -274,7 +276,11 @@ class MultiPumpCrawler:
         if resume:
             ckpt_tick, start_parts = self._resume_prune()
         else:
-            for d in (c.entries_dir, c.images_dir):
+            # clear ckpt_dir too (matching Crawler.run): a fresh run
+            # killed before its first checkpoint must not leave a
+            # PREVIOUS run's LATEST_PUMP/tick=* snapshots for a later
+            # resume to restore against this run's part files
+            for d in (c.entries_dir, c.images_dir, c.ckpt_dir):
                 shutil.rmtree(d, ignore_errors=True)
                 os.makedirs(d, exist_ok=True)
         frontier = Frontier.create(

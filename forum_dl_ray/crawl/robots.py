@@ -11,12 +11,15 @@ merges the parsed rules with any config-provided ones (config wins on
 conflict: an operator override must beat the remote file).
 
 Parser scope (documented subset of RFC 9309): groups of
-``User-agent:`` lines followed by ``Disallow:`` lines; rules from the
-``*`` group plus any group whose agent token is a case-insensitive
-prefix of ours; ``Allow:`` lines and wildcards are NOT implemented —
-the frontier's matcher is prefix-only, so we keep the parse honest to
-what enforcement can express (an unsupported Allow is ignored, which
-only ever makes the crawler MORE conservative).
+``User-agent:`` lines followed by ``Disallow:`` lines. Group selection
+follows RFC 9309 §2.2.1: only the MOST SPECIFIC matching group(s)
+apply — the longest agent token that is a case-insensitive prefix of
+ours, with same-length groups merged in file order — and the ``*``
+group is used solely when no specific group matches. ``Allow:`` lines
+and wildcards are NOT implemented — the frontier's matcher is
+prefix-only, so we keep the parse honest to what enforcement can
+express (an unsupported Allow is ignored, which only ever makes the
+crawler MORE conservative).
 """
 
 from __future__ import annotations
@@ -26,12 +29,16 @@ import pyarrow.parquet as pq
 
 
 def parse_robots(text: str, user_agent: str = "forum-dl-ray") -> list[str]:
-    """Disallow path prefixes applying to ``user_agent`` (lowercased
-    prefix match, per RFC 9309 §2.2.1) plus the ``*`` group. Empty
-    ``Disallow:`` (allow-all) contributes nothing."""
+    """Disallow path prefixes applying to ``user_agent`` per RFC 9309
+    §2.2.1 group selection: only the most specific matching group(s)
+    apply (longest agent token that is a case-insensitive prefix of
+    ours; same-length matches merge in file order); the ``*`` group is
+    the fallback when no specific group matches, never a union with
+    one. Empty ``Disallow:`` (allow-all) contributes nothing."""
     ua = user_agent.lower()
+    groups: list[tuple[list[str], list[str]]] = []  # (agents, rules)
+    agents: list[str] = []
     rules: list[str] = []
-    group_agents: list[str] = []
     group_open = False  # inside the agent-line run of a group
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -42,15 +49,33 @@ def parse_robots(text: str, user_agent: str = "forum-dl-ray") -> list[str]:
         value = value.strip()
         if field == "user-agent":
             if not group_open:
-                group_agents = []
+                if agents:
+                    groups.append((agents, rules))
+                agents, rules = [], []
                 group_open = True
-            group_agents.append(value.lower())
+            agents.append(value.lower())
         else:
             group_open = False
-            if field == "disallow" and value:
-                if any(a == "*" or ua.startswith(a) for a in group_agents):
-                    rules.append(value)
-    return rules
+            if field == "disallow" and value and agents:
+                rules.append(value)
+    if agents:
+        groups.append((agents, rules))
+
+    best = -1  # longest specific (non-'*') matching agent token
+    for ag, _ in groups:
+        for a in ag:
+            if a != "*" and ua.startswith(a):
+                best = max(best, len(a))
+    out: list[str] = []
+    for ag, rs in groups:
+        if best >= 0:
+            hit = any(a != "*" and ua.startswith(a) and len(a) == best
+                      for a in ag)
+        else:
+            hit = "*" in ag
+        if hit:
+            out.extend(rs)
+    return out
 
 
 def discover_robots(pages_path: str, hosts: list[str],

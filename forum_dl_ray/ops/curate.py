@@ -43,6 +43,8 @@ import ray.data as rd
 
 from forum_dl_ray import STAGE_RUNTIME_ENV as _RENV
 
+from ._md5v import md5_low64
+
 _TARGET_SHARD_BYTES = 16 << 20  # sandbox-scale; ~1 GiB at 100 TB
 
 
@@ -90,7 +92,11 @@ def _marker(out_dir: str, shard: int) -> str:
     return os.path.join(out_dir, f"shard-{shard:05d}.json")
 
 
-def _read_done(out_dir: str) -> dict[int, dict]:
+def _read_done(out_dir: str, n_shards: int | None = None) -> dict[int, dict]:
+    """Finished-shard markers; raises when a marker was written under
+    a different ``n_shards`` (md5 placement is a function of it —
+    resuming across a width change silently drops/duplicates docs;
+    mirrors pump.py's n_pumps guard)."""
     done = {}
     if not os.path.isdir(out_dir):
         return done
@@ -98,6 +104,12 @@ def _read_done(out_dir: str) -> dict[int, dict]:
         if name.startswith("shard-") and name.endswith(".json"):
             with open(os.path.join(out_dir, name)) as f:
                 m = json.load(f)
+            if (n_shards is not None and "n_shards" in m
+                    and m["n_shards"] != n_shards):
+                raise ValueError(
+                    f"{out_dir}/{name} was written with n_shards="
+                    f"{m['n_shards']} but this run uses {n_shards} — "
+                    "md5 placement differs; export to a fresh out_dir")
             if os.path.exists(os.path.join(out_dir, f"shard-{m['shard']:05d}.parquet")):
                 done[m["shard"]] = m
     return done
@@ -106,12 +118,11 @@ def _read_done(out_dir: str) -> dict[int, dict]:
 def _shard_of_int_ids(ids: np.ndarray, n_shards: int) -> np.ndarray:
     """md5-low-64-LE of str(doc_id) — DuckDB
     ``md5_number_lower(CAST(doc_id AS VARCHAR)) % n`` (the repo-wide
-    SQL-reproducible hash convention, text.py:_md5_token_hashes)."""
-    return np.array(
-        [int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:16], "little")
-         % n_shards for i in ids],
-        dtype=np.int64,
-    )
+    SQL-reproducible hash convention, text.py:_md5_token_hashes).
+    Vectorized: Arrow int→string cast + single-block md5 (_md5v.py);
+    no per-row hashlib in the shuffle-feeding stage (r3 verdict #3)."""
+    s = pc.cast(pa.array(np.asarray(ids, dtype=np.int64)), pa.string())
+    return (md5_low64(s) % np.uint64(n_shards)).astype(np.int64)
 
 
 def corpus_curated_export(
@@ -140,7 +151,7 @@ def corpus_curated_export(
     if n_shards is None:
         n_shards = corpus_shards_default(sf_dir)
     os.makedirs(out_dir, exist_ok=True)
-    done = _read_done(out_dir) if resume else {}
+    done = _read_done(out_dir, n_shards) if resume else {}
     drop = set(neardup_drop_set(sf_dir))
     if decontaminate_min_hits is not None:
         # benchmark-decontamination stage: the hit list is O(docs
@@ -221,7 +232,8 @@ def corpus_curated_export(
             "sha256": h.hexdigest(),
         }
         with open(_marker(out_dir, shard) + ".tmp", "w") as f:
-            json.dump(manifest, f)
+            # n_shards recorded in the MARKER only (resume guard)
+            json.dump({**manifest, "n_shards": n_shards}, f)
         os.replace(_marker(out_dir, shard) + ".tmp", _marker(out_dir, shard))
         return pd.DataFrame([{**manifest, "resumed": False}])
 

@@ -56,22 +56,19 @@ import ray.data as rd
 
 from forum_dl_ray import STAGE_RUNTIME_ENV as _RENV
 
+from ._md5v import md5_low64
 from .images_ops import images_table_path
 
 _TARGET_SHARD_BYTES = 32 << 20  # sandbox-scale default; at 100 TB use ~1 GiB
 
 
-def shard_of_ids(ids: list[str], n_shards: int) -> np.ndarray:
+def shard_of_ids(ids, n_shards: int) -> np.ndarray:
     """md5-low-64 % n_shards, equal to DuckDB
     ``md5_number_lower(id) % n_shards`` (same digest-slice convention
-    as text.py:_md5_token_hashes)."""
-    return np.array(
-        [
-            int.from_bytes(hashlib.md5(i.encode()).digest()[8:16], "little") % n_shards
-            for i in ids
-        ],
-        dtype=np.int64,
-    )
+    as text.py:_md5_token_hashes). Vectorized single-block md5
+    (_md5v.py) — accepts a pyarrow string array or list[str]; no
+    per-row hashlib in the payload-moving stage (r3 verdict #3)."""
+    return (md5_low64(ids) % np.uint64(n_shards)).astype(np.int64)
 
 
 def default_n_shards(images_pq: str, target_shard_bytes: int = _TARGET_SHARD_BYTES) -> int:
@@ -98,7 +95,11 @@ def _tar_path(out_dir: str, shard: int) -> str:
     return os.path.join(out_dir, f"shard-{shard:05d}.tar")
 
 
-def _read_markers(out_dir: str) -> dict[int, dict]:
+def _read_markers(out_dir: str, n_shards: int | None = None) -> dict[int, dict]:
+    """Finished-shard markers. When ``n_shards`` is given, a marker
+    recording a different shard count raises — the md5 placement is a
+    function of n_shards, so resuming across a width change would
+    silently drop/duplicate samples (mirrors pump.py's n_pumps guard)."""
     done = {}
     if not os.path.isdir(out_dir):
         return done
@@ -106,6 +107,12 @@ def _read_markers(out_dir: str) -> dict[int, dict]:
         if name.startswith("shard-") and name.endswith(".json"):
             with open(os.path.join(out_dir, name)) as f:
                 m = json.load(f)
+            if (n_shards is not None and "n_shards" in m
+                    and m["n_shards"] != n_shards):
+                raise ValueError(
+                    f"{out_dir}/{name} was written with n_shards="
+                    f"{m['n_shards']} but this run uses {n_shards} — "
+                    "md5 placement differs; export to a fresh out_dir")
             if os.path.exists(_tar_path(out_dir, m["shard"])):
                 done[m["shard"]] = m
     return done
@@ -121,7 +128,8 @@ def _add_entry(tf: tarfile.TarFile, name: str, payload: bytes) -> None:
     tf.addfile(ti, io.BytesIO(payload))
 
 
-def write_shard_tar(g: pd.DataFrame, out_dir: str) -> pd.DataFrame:
+def write_shard_tar(g: pd.DataFrame, out_dir: str,
+                    n_shards: int | None = None) -> pd.DataFrame:
     """Pack one shard group into a deterministic tar; returns its
     manifest row. Runs inside map_groups — one task per shard."""
     shard = int(g["shard"].iloc[0])
@@ -154,7 +162,11 @@ def write_shard_tar(g: pd.DataFrame, out_dir: str) -> pd.DataFrame:
         "sha256": sha,
     }
     with open(_marker_path(out_dir, shard) + ".tmp", "w") as f:
-        json.dump(manifest, f)
+        # n_shards goes into the MARKER only (resume guard), not the
+        # returned manifest row — placement is invalid under any other
+        # shard count
+        json.dump({**manifest, "n_shards": n_shards}
+                  if n_shards is not None else manifest, f)
     os.replace(_marker_path(out_dir, shard) + ".tmp", _marker_path(out_dir, shard))
     return pd.DataFrame([{**manifest, "resumed": False}])
 
@@ -181,7 +193,7 @@ def image_shard_export(
     if n_shards is None:
         n_shards = default_n_shards(src)
     os.makedirs(out_dir, exist_ok=True)
-    done = _read_markers(out_dir) if resume else {}
+    done = _read_markers(out_dir, n_shards) if resume else {}
     drop_ref = _ray.put(drop_ids) if drop_ids else None
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -189,7 +201,7 @@ def image_shard_export(
             drop = _ray.get(drop_ref)
             keep_c = ~pd.Series(batch["image_id"].to_pylist()).isin(drop)
             batch = batch.filter(pa.array(keep_c.to_numpy()))
-        shard = shard_of_ids(batch["image_id"].to_pylist(), n_shards)
+        shard = shard_of_ids(batch["image_id"], n_shards)
         batch = batch.append_column("shard", pa.array(shard, pa.int64()))
         if done:  # prune finished shards before any payload moves
             keep = ~np.isin(shard, list(done))
@@ -201,7 +213,7 @@ def image_shard_export(
     )
 
     def pack(g: pd.DataFrame) -> pd.DataFrame:
-        return write_shard_tar(g, out_dir)
+        return write_shard_tar(g, out_dir, n_shards=n_shards)
 
     written = (
         ds.groupby("shard")

@@ -119,3 +119,13 @@ def test_resume_skips_finished(export_dir, ray_session, tmp_path):
         with open(os.path.join(out3, f"shard-{row.shard:05d}.json")) as f:
             m = json.load(f)
         assert (m["n_docs"], m["sha256"]) == (row.n_docs, row.sha256)
+
+
+def test_resume_refuses_n_shards_change(export_dir, ray_session, tmp_path):
+    out = str(tmp_path / "widthchange")
+    corpus_curated_export(SF_DIR, out, n_shards=N_SHARDS)
+    # md5 placement is a function of n_shards — a resumed run under a
+    # different width must refuse (ADVICE r3), not silently mix
+    with pytest.raises(ValueError, match="n_shards"):
+        corpus_curated_export(SF_DIR, out, n_shards=N_SHARDS + 1)
+    corpus_curated_export(SF_DIR, out, n_shards=N_SHARDS + 1, resume=False)

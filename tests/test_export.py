@@ -112,3 +112,15 @@ def test_shard_assignment_matches_duckdb(source_df):
         f"SELECT image_id, md5_number_lower(image_id) % {N_SHARDS} AS s FROM df"
     ).fetchall()
     assert {r[0]: int(r[1]) for r in rows} == ours
+
+
+def test_resume_refuses_n_shards_change(export_dir, ray_session, tmp_path):
+    out4 = str(tmp_path / "widthchange")
+    image_shard_export(None, out4, n_shards=N_SHARDS)
+    # md5 placement is a function of n_shards: resuming into the same
+    # out_dir with a different width must refuse, not silently
+    # drop/duplicate samples (ADVICE r3)
+    with pytest.raises(ValueError, match="n_shards"):
+        image_shard_export(None, out4, n_shards=N_SHARDS + 1)
+    # resume=False ignores stale markers entirely
+    image_shard_export(None, out4, n_shards=N_SHARDS + 1, resume=False)

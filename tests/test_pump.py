@@ -104,3 +104,23 @@ def test_pump_parity_mixed_engines(ray_session, tmp_path):
     assert df["content"].tolist() == [e["content"] for e in golden.entries]
     seen = pq.read_table(os.path.join(out, "seen.parquet")).to_pylist()
     assert {r["url"]: r["failed"] for r in seen} == golden.seen
+
+
+def test_fresh_run_clears_stale_checkpoints(ray_session, micro_dir, tmp_path):
+    """A fresh (resume=False) pump run must clear ckpt_dir (ADVICE r3):
+    a previous run's LATEST_PUMP surviving into a new run would let a
+    later resume restore a stale frontier and prune the NEW run's part
+    files against stale watermarks."""
+    out = str(tmp_path / "pump_stale")
+    cfg_ckpt = CrawlConfig(num_shards=4, min_rows_per_task=64,
+                           checkpoint_every=1, max_waves=2)
+    MultiPumpCrawler(micro_dir, out, cfg_ckpt, n_pumps=2).run()
+    latest = os.path.join(out, "checkpoints", "LATEST_PUMP")
+    assert os.path.exists(latest)
+    # fresh run with checkpointing OFF: stale snapshots must be gone
+    cfg_nockpt = CrawlConfig(num_shards=4, min_rows_per_task=64,
+                             checkpoint_every=0)
+    MultiPumpCrawler(micro_dir, out, cfg_nockpt, n_pumps=2).run()
+    assert not os.path.exists(latest)
+    with pytest.raises(FileNotFoundError):
+        MultiPumpCrawler(micro_dir, out, cfg_nockpt, n_pumps=2).run(resume=True)

@@ -28,25 +28,40 @@ User-agent: evilbot
 Disallow: /
 
 User-agent: *
-Disallow: /thread/
+Disallow: /star-only/
 Disallow:
 
 User-agent: forum-dl-ray
 User-agent: otherbot
+Disallow: /thread/
 Disallow: /img/
 """
 
 
 def test_parse_robots_groups():
     rules = parse_robots(ROBOTS.decode())
-    # '*' group applies; ua-prefix group applies; evilbot group does
-    # not; empty Disallow contributes nothing
+    # RFC 9309 §2.2.1: only the most specific matching group applies;
+    # '*' is a fallback, never unioned with a specific match
     assert rules == ["/thread/", "/img/"]
-    # evilbot gets its own group + '*', but NOT the forum-dl-ray group
-    assert parse_robots(ROBOTS.decode(), user_agent="evilbot") == [
-        "/", "/thread/"]
+    assert parse_robots(ROBOTS.decode(), user_agent="evilbot") == ["/"]
+    assert parse_robots(ROBOTS.decode(), user_agent="otherbot") == [
+        "/thread/", "/img/"]
+    # unmatched UA falls back to the '*' group
+    assert parse_robots(ROBOTS.decode(), user_agent="nobody") == ["/star-only/"]
     assert parse_robots("") == []
     assert parse_robots("User-agent: *\nAllow: /x\nDisallow: /y") == ["/y"]
+
+
+def test_parse_robots_most_specific_wins():
+    text = ("User-agent: forum\nDisallow: /a\n\n"
+            "User-agent: forum-dl-ray\nDisallow: /b\n\n"
+            "User-agent: forum-dl\nDisallow: /c\n\n"
+            "User-agent: forum-dl-ray\nDisallow: /d\n")
+    # longest matching token wins; equal-length groups merge in order
+    assert parse_robots(text) == ["/b", "/d"]
+    assert parse_robots(text, user_agent="forum-dl-bot") == ["/c"]
+    # rules before any User-agent line are ignored
+    assert parse_robots("Disallow: /x\nUser-agent: *\nDisallow: /y") == ["/y"]
 
 
 @pytest.fixture(scope="module")
@@ -147,9 +162,10 @@ _group = st.tuples(st.lists(_agent, min_size=1, max_size=3),
 @settings(max_examples=200, deadline=None)
 @given(st.lists(_group, min_size=0, max_size=5))
 def test_parse_robots_group_semantics(groups):
-    """Reference model: a group's Disallow rules apply iff any of its
-    agent tokens is '*' or a lowercase prefix of ours; rules keep file
-    order; non-empty only."""
+    """Reference model (RFC 9309 §2.2.1): only the group(s) with the
+    LONGEST specific (non-'*') agent token that prefixes ours apply;
+    '*' groups apply only when no specific group matches; rules keep
+    file order; non-empty only."""
     text = "\n".join(
         "\n".join([f"User-agent: {a}" for a, _ in [(a, None) for a in agents]]
                   + [f"Disallow: {p}" for p in paths])
@@ -165,9 +181,20 @@ def test_parse_robots_group_semantics(groups):
         if paths:
             merged.append((pending, paths))
             pending = []
-    want = [p for agents, paths in merged
-            if any(a == "*" or ua.startswith(a) for a in agents)
-            for p in paths if p]
+    if pending:
+        # a trailing rule-less group is still a group: a specific UA
+        # match there means "this agent: allow all", suppressing '*'
+        merged.append((pending, []))
+    best = max((len(a) for agents, _ in merged for a in agents
+                if a != "*" and ua.startswith(a)), default=-1)
+    if best >= 0:
+        want = [p for agents, paths in merged
+                if any(a != "*" and ua.startswith(a) and len(a) == best
+                       for a in agents)
+                for p in paths if p]
+    else:
+        want = [p for agents, paths in merged if "*" in agents
+                for p in paths if p]
     assert parse_robots(text, user_agent=ua) == want
 
 
