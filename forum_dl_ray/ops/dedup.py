@@ -197,60 +197,92 @@ def _jaccard(a: set, b: set) -> float:
     return len(a & b) / len(a | b)
 
 
+def _pair_verify_plan(cand: pd.DataFrame) -> dict[int, list[tuple[int, int, int]]]:
+    """Hub-keyed emit plan for the pair verify (r3 verdict #4): every
+    pair is anchored at its higher-degree endpoint (tie → smaller id),
+    forming star groups keyed by the hub doc. A doc emits its shingle
+    array ONCE per group it touches — once as the hub of its own star
+    (regardless of how many pairs that star holds) plus once per pair
+    where it is the spoke — instead of once per pair on both sides.
+    For a k-spoke star hub (the spanning-star degradation's shape)
+    that is 1 serialization instead of k.
+
+    Returns {doc_id: [(group, pair_idx, is_hub)]} with pair_idx = -1
+    on hub entries; total emitted rows = n_hubs + n_pairs."""
+    ids_a = cand["id_a"].to_numpy(dtype=np.int64)
+    ids_b = cand["id_b"].to_numpy(dtype=np.int64)
+    docs, counts = np.unique(np.concatenate([ids_a, ids_b]), return_counts=True)
+    deg = dict(zip(docs.tolist(), counts.tolist()))
+    plan: dict[int, list[tuple[int, int, int]]] = {}
+    hubs: set[int] = set()
+    for pidx, (a, b) in enumerate(zip(ids_a.tolist(), ids_b.tolist())):
+        hub, spoke = ((a, b) if (deg[a], -a) >= (deg[b], -b) else (b, a))
+        if hub not in hubs:
+            hubs.add(hub)
+            plan.setdefault(hub, []).append((hub, -1, 1))
+        plan.setdefault(spoke, []).append((hub, pidx, 0))
+    return plan
+
+
 def _verify_pairs_counts(sf_dir: str, cand: pd.DataFrame, shingle: int,
                          n_buckets: int | None = None) -> tuple[np.ndarray, np.ndarray]:
     """Exact shingle (intersection, union) counts per candidate pair,
     fully distributed:
 
-    1. broadcast a (doc_id -> [(pair_idx, side)]) map built from the
-       SMALL candidate-pair table (pairs ≪ corpus, the LSH guarantee);
+    1. broadcast the hub-keyed emit plan built from the SMALL
+       candidate-pair table (pairs ≪ corpus, the LSH guarantee) —
+       see :func:`_pair_verify_plan`: a doc's shingle array crosses
+       the shuffle once per star GROUP it touches, never once per
+       pair per side (a star hub serializes exactly once);
     2. a map_batches stage over `documents` shingles ONLY candidate
-       docs (non-candidates are filtered out before any hashing) and
-       replicates each doc's shingle-hash array once per pair it
-       participates in, keyed by pair_idx;
-    3. a pair_idx-bucketed map_groups co-locates both sides of every
-       pair and computes exact Jaccard.
+       docs (non-candidates are filtered out before any hashing);
+    3. a group-bucketed map_groups co-locates each star (hub + its
+       spokes) and computes exact per-pair Jaccard hub-locally.
 
     Text bodies never leave the scan stage and the corpus is never
     materialized on the driver (the round-1 version pulled the whole
     documents table through Dataset.to_pandas())."""
     n_buckets = n_buckets or default_buckets()
-    doc2pairs: dict[int, list[tuple[int, int]]] = {}
-    for pidx, (a, b) in enumerate(zip(cand["id_a"], cand["id_b"])):
-        doc2pairs.setdefault(int(a), []).append((pidx, 0))
-        doc2pairs.setdefault(int(b), []).append((pidx, 1))
-    map_ref = ray.put(doc2pairs)
+    plan_ref = ray.put(_pair_verify_plan(cand))
 
     def shingle_stage(batch: pa.Table) -> pa.Table:
-        d2p = ray.get(map_ref)
+        plan = ray.get(plan_ref)
         ids = batch["doc_id"].to_pylist()
-        sel = [i for i, d in enumerate(ids) if int(d) in d2p]
-        out_pair, out_side, out_hashes = [], [], []
+        sel = [i for i, d in enumerate(ids) if int(d) in plan]
+        out_grp, out_pair, out_hub, out_hashes = [], [], [], []
         if sel:
             texts = batch["text"].take(pa.array(sel)).to_pylist()
             for i, hashes in zip(sel, token_hashes(texts, shingle=shingle)):
                 h64 = hashes.astype(np.int64).tolist()
-                for pidx, side in d2p[int(ids[i])]:
+                for group, pidx, is_hub in plan[int(ids[i])]:
+                    out_grp.append(group)
                     out_pair.append(pidx)
-                    out_side.append(side)
+                    out_hub.append(is_hub)
                     out_hashes.append(h64)
         return pa.table(
             {
+                "group": pa.array(out_grp, pa.int64()),
                 "pair_idx": pa.array(out_pair, pa.int64()),
-                "side": pa.array(out_side, pa.int32()),
+                "is_hub": pa.array(out_hub, pa.int8()),
                 "hashes": pa.array(out_hashes, pa.list_(pa.int64())),
-                "bucket": pa.array([p & (n_buckets - 1) for p in out_pair], pa.int64()),
+                "bucket": pa.array([gp & (n_buckets - 1) for gp in out_grp],
+                                   pa.int64()),
             }
         )
 
-    def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+    def star_counts(g: pd.DataFrame) -> pd.DataFrame:
         out_idx, out_inter, out_union = [], [], []
-        for pidx, grp in g.groupby("pair_idx", sort=False):
-            sides = {int(s): set(h) for s, h in zip(grp["side"], grp["hashes"])}
-            if len(sides) == 2:
+        for _, grp in g.groupby("group", sort=False):
+            hub_rows = grp[grp["is_hub"] == 1]
+            if not len(hub_rows):
+                continue  # hub doc missing from the table: pairs stay unverified
+            hub_set = set(hub_rows.iloc[0]["hashes"])
+            spokes = grp[grp["is_hub"] == 0]
+            for pidx, h in zip(spokes["pair_idx"], spokes["hashes"]):
+                s = set(h)
                 out_idx.append(int(pidx))
-                out_inter.append(len(sides[0] & sides[1]))
-                out_union.append(len(sides[0] | sides[1]))
+                out_inter.append(len(hub_set & s))
+                out_union.append(len(hub_set | s))
         return pd.DataFrame({"pair_idx": pd.Series(out_idx, dtype="int64"),
                              "inter": pd.Series(out_inter, dtype="int64"),
                              "union": pd.Series(out_union, dtype="int64")})
@@ -259,7 +291,7 @@ def _verify_pairs_counts(sf_dir: str, cand: pd.DataFrame, shingle: int,
         _read_docs(sf_dir, ["doc_id", "text"])
         .map_batches(shingle_stage, batch_format="pyarrow", runtime_env=_RENV, batch_size=4096)
         .groupby("bucket")
-        .map_groups(pair_counts, batch_format="pandas", runtime_env=_RENV)
+        .map_groups(star_counts, batch_format="pandas", runtime_env=_RENV)
         .to_pandas()  # n_pairs rows — small by construction
     )
     inter = np.zeros(len(cand), dtype=np.int64)

@@ -3,11 +3,20 @@
 - Brute-force cosine top-k: numpy matmul per batch against a broadcast
   query matrix (`ray.put` once, read in every task), per-batch local
   top-k, then a tiny global groupby-topk — the exact baseline.
-- IVF variant: coarse centroids (seeded k-means on a STREAMED
+- IVF variant: a PERSISTED inverted-file index (r3 verdict Next #1).
+  ``ivf_build`` fits coarse centroids (seeded k-means on a STREAMED
   bounded sample — a distributed stride filter, never a full-table
-  driver read) broadcast to the assign stage; search probes only the
-  nearest `nprobe` centroid buckets — the 10^9-row scale path
-  (approximate; recall measured against brute force in tests).
+  driver read), assigns every row to its nearest centroid in one
+  distributed pass, and writes the corpus as bucket-partitioned
+  parquet (``bucket=K/`` directories) next to the centroid matrix +
+  a metadata manifest. ``ivf_topk`` then serves query sets by reading
+  ONLY the ``nprobe`` probed bucket directories — cost is
+  O(corpus × nprobe / n_clusters) per query set instead of O(corpus),
+  which is the actual 10^9-row path. The index is content-addressed
+  (source parquet metadata digest + build params) and cached, so
+  repeated query sets against an unchanged corpus never rebuild;
+  tests assert both recall vs brute force AND that the query path
+  scans ≤ nprobe/n_clusters (+ imbalance slack) of the corpus rows.
 """
 
 from __future__ import annotations
@@ -140,24 +149,149 @@ def kmeans_centroids(mat: np.ndarray, n_clusters: int, iters: int = 8, seed: int
     return cent
 
 
+_IVF_CACHE_ROOT = "/tmp/fdr_ivf"
+
+
+def _ivf_digest(src: str, n_clusters: int, seed: int) -> str:
+    """Content address for an index: source parquet file-level
+    metadata (names, sizes, row counts) + build params. Metadata-only —
+    no data read."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    h = hashlib.blake2b(digest_size=12)
+    h.update(f"{n_clusters}|{seed}|".encode())
+    files = ([os.path.join(r, f) for r, _, fs in os.walk(src)
+              for f in sorted(fs) if f.endswith(".parquet")]
+             if os.path.isdir(src) else [src])
+    for f in sorted(files):
+        md = pq.ParquetFile(f).metadata
+        h.update(f"{os.path.basename(f)}|{os.path.getsize(f)}|{md.num_rows}|".encode())
+    return h.hexdigest()
+
+
+def ivf_build(sf_dir: str, index_dir: str | None = None,
+              n_clusters: int = 16, seed: int = 42) -> str:
+    """Build (or reuse) the persisted IVF index for the embeddings
+    table: centroids fit on a streamed sample, ONE distributed
+    assignment pass, corpus written as ``bucket=K/`` partitioned
+    parquet. Returns the index directory.
+
+    Scale shape: the partitioned write is shuffle-free (each block
+    splits into its buckets locally — at 10^9 rows this yields
+    blocks×nonempty-buckets files; co-locate with a bucket-keyed
+    repartition first if file count matters more than one pass).
+    The build is content-addressed and atomic (_DONE last), so query
+    sets against an unchanged corpus reuse it for free."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    digest = _ivf_digest(src, n_clusters, seed)
+    if index_dir is None:
+        index_dir = os.path.join(_IVF_CACHE_ROOT, digest)
+    done = os.path.join(index_dir, "_DONE")
+    meta_path = os.path.join(index_dir, "meta.json")
+    if os.path.exists(done) and os.path.exists(meta_path):
+        import json
+
+        with open(meta_path) as f:
+            if json.load(f).get("digest") == digest:
+                return index_dir
+    import json
+    import shutil
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.makedirs(index_dir, exist_ok=True)
+
+    cent = kmeans_centroids(_sample_matrix(sf_dir), n_clusters, seed=seed)
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent_ = ray.get(cent_ref)
+        _, mat = _to_matrix(batch.to_pandas())
+        bucket = np.argmax(mat @ cent_.T, axis=1)
+        return batch.append_column("bucket",
+                                   pa.array(bucket.astype(np.int64), pa.int64()))
+
+    import pyarrow.fs as pafs
+
+    (_read_emb(sf_dir)
+     .map_batches(assign, batch_format="pyarrow", runtime_env=_RENV,
+                  batch_size=4096)
+     .write_parquet(index_dir, partition_cols=["bucket"],
+                    filesystem=pafs.LocalFileSystem()))
+    np.save(os.path.join(index_dir, "centroids.npy"), cent)
+    with open(meta_path, "w") as f:
+        json.dump({"digest": digest, "n_clusters": n_clusters, "seed": seed,
+                   "source": os.path.abspath(src)}, f)
+    with open(done, "w") as f:
+        f.write("ok")
+    return index_dir
+
+
+def ivf_bucket_rows(index_dir: str) -> dict[int, int]:
+    """Per-bucket row counts from parquet METADATA only (the scan-
+    fraction evidence the query-path test asserts on)."""
+    import pyarrow.parquet as pq
+
+    out: dict[int, int] = {}
+    for name in os.listdir(index_dir):
+        if not name.startswith("bucket="):
+            continue
+        b = int(name.split("=", 1)[1])
+        d = os.path.join(index_dir, name)
+        out[b] = sum(
+            pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+            for f in os.listdir(d) if f.endswith(".parquet")
+        )
+    return out
+
+
+def _read_probed_buckets(index_dir: str, buckets: list[int]) -> rd.Dataset | None:
+    """Dataset over ONLY the probed bucket directories, with the
+    bucket id re-attached as a column (the partitioned write encodes
+    it in the path). Buckets absent from the index (empty at build
+    time) are skipped."""
+    parts = []
+    for b in sorted(set(int(b) for b in buckets)):
+        d = os.path.join(index_dir, f"bucket={b}")
+        if not os.path.isdir(d):
+            continue
+
+        def tag(batch: pa.Table, _b: int = b) -> pa.Table:
+            return batch.append_column(
+                "bucket", pa.array(np.full(len(batch), _b, dtype=np.int64)))
+
+        parts.append(
+            rd.read_parquet(d, columns=["vec_id", "embedding"]).map_batches(
+                tag, batch_format="pyarrow", runtime_env=_RENV,
+                batch_size=4096))
+    if not parts:
+        return None
+    ds = parts[0]
+    return ds.union(*parts[1:]) if len(parts) > 1 else ds
+
+
 def ivf_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
-             n_clusters: int = 16, nprobe: int = 4) -> pd.DataFrame:
-    """IVF-style ANN: assign rows to nearest centroid bucket (broadcast
-    centroids), search only the nprobe buckets nearest each query.
-    Approximate — tests measure recall vs brute_topk."""
+             n_clusters: int = 16, nprobe: int = 4,
+             index_dir: str | None = None) -> pd.DataFrame:
+    """ANN top-k over the PERSISTED IVF index: build-or-reuse the
+    bucket-partitioned index, then scan only the union of each
+    query's ``nprobe`` nearest buckets — O(corpus·nprobe/n_clusters)
+    per query set. Approximate — tests measure recall vs brute_topk
+    and assert the scan fraction."""
     query_ids = query_ids if query_ids is not None else [0, 1, 2]
-    emb = _read_emb(sf_dir)
-    cent = kmeans_centroids(_sample_matrix(sf_dir), n_clusters)
+    index_dir = ivf_build(sf_dir, index_dir, n_clusters=n_clusters)
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
     q_ids, q_mat = _query_matrix(sf_dir, query_ids)
     probe = np.argsort(-(q_mat @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
-    cent_ref = ray.put(cent)
     q_ref = ray.put((q_ids, q_mat, probe))
 
-    def assign_and_search(batch: pa.Table) -> pa.Table:
-        cent_ = ray.get(cent_ref)
+    probed = _read_probed_buckets(index_dir, probe.ravel().tolist())
+
+    def search(batch: pa.Table) -> pa.Table:
         q_ids_, q_mat_, probe_ = ray.get(q_ref)
+        bucket = batch["bucket"].to_numpy(zero_copy_only=False)
         ids, mat = _to_matrix(batch.to_pandas())
-        bucket = np.argmax(mat @ cent_.T, axis=1)
         out_q, out_v, out_c = [], [], []
         for qi, qid in enumerate(q_ids_):
             sel = np.isin(bucket, probe_[qi]) & (ids != qid)
@@ -180,8 +314,11 @@ def ivf_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
     def global_topk(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
 
+    if probed is None:
+        return pd.DataFrame(columns=["query_id", "vec_id", "cos_r"])
     out = (
-        emb.map_batches(assign_and_search, batch_format="pyarrow", runtime_env=_RENV, batch_size=4096)
+        probed.map_batches(search, batch_format="pyarrow", runtime_env=_RENV,
+                           batch_size=4096)
         .groupby("query_id")
         .map_groups(global_topk, batch_format="pandas", runtime_env=_RENV)
         .to_pandas()

@@ -194,3 +194,33 @@ def test_fingerprint_matches_scalar_reference():
     for t in ["", "a", "hello world", "ü ünicode ☃", "x" * 5000,
               "The quick brown fox jumps over the lazy dog."]:
         assert _rolling_fingerprint(t) == scalar(t), t
+
+
+def test_hub_local_star_verify_plan():
+    """r3 verdict #4: a star hub's shingle array must cross the verify
+    shuffle ONCE, not once per spoke. The emit plan is the counter:
+    total serializations = n_hubs + n_pairs, and the hub of a k-spoke
+    star has exactly one entry."""
+    import pandas as pd
+
+    from forum_dl_ray.ops.dedup import _pair_verify_plan
+
+    k = 500  # spanning star: hub 0 paired with every other doc
+    cand = pd.DataFrame({"id_a": [0] * k, "id_b": list(range(1, k + 1))})
+    plan = _pair_verify_plan(cand)
+    hub_entries = [e for e in plan[0] if e[2] == 1]
+    assert len(plan[0]) == 1 and len(hub_entries) == 1  # hub ships once
+    total_rows = sum(len(v) for v in plan.values())
+    assert total_rows == 1 + k  # n_hubs + n_pairs, vs 2k pair-keyed
+    # every pair is covered exactly once by a spoke entry
+    covered = sorted(p for v in plan.values() for _, p, h in v if h == 0)
+    assert covered == list(range(k))
+
+    # mixed graph: triangle + pendant — every pair covered, each doc
+    # emits ≤ (1 hub entry + its spoke pairs)
+    cand2 = pd.DataFrame({"id_a": [1, 1, 2, 3], "id_b": [2, 3, 3, 4]})
+    plan2 = _pair_verify_plan(cand2)
+    covered2 = sorted(p for v in plan2.values() for _, p, h in v if h == 0)
+    assert covered2 == [0, 1, 2, 3]
+    rows2 = sum(len(v) for v in plan2.values())
+    assert rows2 <= 4 + 4  # never worse than pair-keyed (2 * n_pairs)

@@ -89,14 +89,58 @@ def test_rows_only_queries_run(ray_session):
         assert df is not None and len(df.columns) > 0, name
 
 
-def test_ivf_recall_vs_brute(ray_session):
+def test_ivf_recall_vs_brute(ray_session, tmp_path):
     from forum_dl_ray.ops import similarity
 
+    idx = str(tmp_path / "ivf_idx")
     brute = similarity.brute_topk(SF_DIR, [0, 1, 2], k=10)
-    ivf = similarity.ivf_topk(SF_DIR, [0, 1, 2], k=10, n_clusters=8, nprobe=4)
+    ivf = similarity.ivf_topk(SF_DIR, [0, 1, 2], k=10, n_clusters=8, nprobe=4,
+                              index_dir=idx)
     recalls = []
     for q in [0, 1, 2]:
         b = set(brute.loc[brute["query_id"] == q, "vec_id"])
         i = set(ivf.loc[ivf["query_id"] == q, "vec_id"])
         recalls.append(len(b & i) / len(b))
     assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_ivf_index_persisted_and_query_scans_probed_buckets_only(
+        ray_session, tmp_path):
+    """r3 verdict Next #1 'done' criteria: the index is a persisted
+    bucket-partitioned layout, reused across query sets, and the query
+    path reads ≤ (nprobe/n_clusters + imbalance slack) of the corpus."""
+    import pyarrow.parquet as pq
+
+    from forum_dl_ray.ops import similarity
+
+    idx = str(tmp_path / "ivf_idx2")
+    n_clusters, nprobe = 16, 4
+    built = similarity.ivf_build(SF_DIR, idx, n_clusters=n_clusters)
+    assert built == idx and os.path.exists(os.path.join(idx, "_DONE"))
+    per_bucket = similarity.ivf_bucket_rows(idx)
+    total = sum(per_bucket.values())
+    emb_rows = pq.read_metadata(
+        os.path.join(SF_DIR, "embeddings.parquet")).num_rows
+    assert total == emb_rows  # every corpus row lives in exactly one bucket
+
+    # rebuild request on an unchanged corpus must REUSE (content digest)
+    marker = os.path.join(idx, "meta.json")
+    mtime = os.path.getmtime(marker)
+    similarity.ivf_build(SF_DIR, idx, n_clusters=n_clusters)
+    assert os.path.getmtime(marker) == mtime
+
+    # query-path scan fraction: union of probed buckets across queries
+    cent = __import__("numpy").load(os.path.join(idx, "centroids.npy"))
+    q_ids, q_mat = similarity._query_matrix(SF_DIR, [0, 1, 2])
+    import numpy as np
+
+    probe = np.argsort(-(q_mat @ cent.T), axis=1)[:, :nprobe]
+    probed_rows = sum(per_bucket.get(int(b), 0) for b in set(probe.ravel()))
+    frac = probed_rows / total
+    # 3 queries × nprobe/n_clusters with generous bucket-imbalance
+    # slack; the point is it is FAR below a full scan
+    assert frac <= 0.75, frac
+    # and the served result only reads those directories: the probed
+    # reader skips every non-probed bucket
+    ds = similarity._read_probed_buckets(idx, probe.ravel().tolist())
+    assert ds.count() == probed_rows
