@@ -78,9 +78,29 @@ class HttpPageStore:
     reference session.py:68-141). URLs are fetched through a gateway
     (forward-proxy style: ``GET {gateway}/{quote(url)}``) so one
     localhost server can serve a whole multi-host fixture; pointing
-    ``gateway`` at "" (empty) fetches each URL directly instead. Honors
-    ``timeout_s`` per request and sends ``user_agent`` — the two
-    options the round-2 advice flagged as carried-but-inert.
+    ``gateway`` at "" (empty) fetches each URL directly instead (http
+    or https — the scheme picks the connection class). Honors
+    ``timeout_s`` per request and sends ``user_agent``.
+
+    Real-world behaviors the reference got for free from ``requests``
+    (session.py:68-88) and this class implements explicitly (r3
+    verdict What's-missing #1):
+
+    - **Connection reuse**: one persistent keep-alive connection per
+      (scheme, host, port), pooled per store instance (= per worker
+      process via the ``_STORES`` cache); a stale kept-alive socket is
+      silently reopened once before counting as a transport failure.
+    - **Redirects**: 301/302/303/307/308 followed transparently up to
+      ``max_redirects``, relative ``Location`` resolved against the
+      request URL. The frontier's seen set keys on the ORIGINALLY
+      offered URL — exactly the reference's semantics, where requests
+      auto-follows and ``_past_requests`` records the requested url
+      (session.py:105-115); redirect targets are never re-enqueued.
+    - **Compression**: sends ``Accept-Encoding: gzip`` and
+      transparently inflates gzip/deflate bodies.
+    - **Charset**: ``text/*`` bodies in a declared non-UTF-8 charset
+      are transcoded to UTF-8 (and the header rewritten) so the parse
+      kernels see one encoding, like requests' ``.text``.
 
     Transient transport errors (connect/timeout/5xx) surface as
     status 503 to :func:`fetch_batch`'s bounded in-stage retry loop,
@@ -88,10 +108,14 @@ class HttpPageStore:
     failed set. Spec form for :func:`get_store`:
     ``("http", gateway, timeout_s, user_agent)``."""
 
-    def __init__(self, gateway: str, timeout_s: float = 5.0, user_agent: str = ""):
+    def __init__(self, gateway: str, timeout_s: float = 5.0, user_agent: str = "",
+                 max_redirects: int = 5):
         self.gateway = gateway.rstrip("/")
         self.timeout_s = timeout_s
         self.user_agent = user_agent
+        self.max_redirects = max_redirects
+        self._conns: dict[tuple, Any] = {}
+        self.n_reused = 0  # keep-alive hits (observable in tests)
 
     def request_url(self, url: str) -> str:
         if not self.gateway:
@@ -100,22 +124,120 @@ class HttpPageStore:
 
         return f"{self.gateway}/{quote(url, safe='')}"
 
-    def fetch(self, url: str) -> tuple[int, bytes, str]:
-        """(status, body, content_type); 503 for transport errors."""
-        import urllib.error
-        import urllib.request
+    def _conn(self, scheme: str, host: str, port: int):
+        import http.client
 
-        req = urllib.request.Request(
-            self.request_url(url),
-            headers={"User-Agent": self.user_agent} if self.user_agent else {},
-        )
+        key = (scheme, host, port)
+        c = self._conns.get(key)
+        if c is not None:
+            self.n_reused += 1
+            return c
+        if scheme == "https":
+            import ssl
+
+            c = http.client.HTTPSConnection(
+                host, port, timeout=self.timeout_s,
+                context=ssl.create_default_context())
+        else:
+            c = http.client.HTTPConnection(host, port, timeout=self.timeout_s)
+        self._conns[key] = c
+        return c
+
+    def _drop_conn(self, scheme: str, host: str, port: int) -> None:
+        c = self._conns.pop((scheme, host, port), None)
+        if c is not None:
+            try:
+                c.close()
+            except OSError:
+                pass
+
+    def _get_once(self, url: str) -> tuple[int, dict, bytes]:
+        """One GET over the pooled connection, no redirect following.
+        Returns (status, lowercased headers, raw body); raises OSError/
+        HTTPException on transport failure (after one silent reopen of
+        a stale kept-alive socket)."""
+        import http.client
+        from urllib.parse import urlsplit
+
+        sp = urlsplit(url)
+        scheme = sp.scheme or "http"
+        host = sp.hostname or ""
+        port = sp.port or (443 if scheme == "https" else 80)
+        path = sp.path or "/"
+        if sp.query:
+            path += "?" + sp.query
+        headers = {"Accept-Encoding": "gzip"}
+        if self.user_agent:
+            headers["User-Agent"] = self.user_agent
+        last_err: Exception | None = None
+        for attempt in (0, 1):
+            reused = (scheme, host, port) in self._conns
+            c = self._conn(scheme, host, port)
+            try:
+                c.request("GET", path, headers=headers)
+                resp = c.getresponse()
+                body = resp.read()
+                hdrs = {k.lower(): v for k, v in resp.getheaders()}
+                if resp.will_close:
+                    self._drop_conn(scheme, host, port)
+                return resp.status, hdrs, body
+            except (http.client.HTTPException, OSError) as e:
+                # a stale keep-alive socket gets ONE silent reopen;
+                # a fresh connection failing is a real transport error
+                self._drop_conn(scheme, host, port)
+                last_err = e
+                if not reused:
+                    break
+        raise last_err  # type: ignore[misc]
+
+    @staticmethod
+    def _decode_body(hdrs: dict, body: bytes) -> tuple[bytes, str]:
+        enc = hdrs.get("content-encoding", "").lower()
+        if enc == "gzip":
+            import gzip
+
+            body = gzip.decompress(body)
+        elif enc == "deflate":
+            import zlib
+
+            body = zlib.decompress(body)
+        ctype = hdrs.get("content-type", "") or ""
+        low = ctype.lower()
+        if low.startswith("text/") and "charset=" in low:
+            import re as _re
+
+            m = _re.search(r"charset=([\w.-]+)", low)
+            charset = m.group(1) if m else "utf-8"
+            if charset not in ("utf-8", "utf8", "us-ascii", "ascii"):
+                try:
+                    body = body.decode(charset, "replace").encode("utf-8")
+                    ctype = _re.sub(r"(?i)charset=[\w.-]+", "charset=utf-8",
+                                    ctype)
+                except LookupError:
+                    pass  # unknown codec: pass bytes through unchanged
+        return body, ctype
+
+    def fetch(self, url: str) -> tuple[int, bytes, str]:
+        """(status, body, content_type); 503 for transport errors;
+        redirects followed, gzip inflated, charset normalized."""
+        import http.client
+
         try:
-            with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
-                return (resp.status, resp.read(),
-                        resp.headers.get("Content-Type", "") or "")
-        except urllib.error.HTTPError as e:
-            return e.code, b"", ""
-        except (urllib.error.URLError, TimeoutError, OSError):
+            cur = self.request_url(url)
+            for _ in range(self.max_redirects + 1):
+                status, hdrs, body = self._get_once(cur)
+                loc = hdrs.get("location")
+                if status in (301, 302, 303, 307, 308) and loc:
+                    from urllib.parse import urljoin
+
+                    cur = urljoin(cur, loc)
+                    continue
+                break
+            if status != 200:
+                return int(status), b"", ""
+            body, ctype = self._decode_body(hdrs, body)
+            return 200, body, ctype
+        except (http.client.HTTPException, TimeoutError, OSError, EOFError):
             return 503, b"", ""
 
 

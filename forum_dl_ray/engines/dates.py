@@ -14,6 +14,9 @@ same input always yields the same output on any machine:
 - ctime (`Tue Jan  2 10:03:04 2024`, optional zone token)
 - month-name (`January 2, 2024, 10:03`, `Jan 2, 2024 10:03:04 PM`)
 - day-first (`2 January 2024 10:03`, `02 Jan 2024`)
+- German/French/Spanish month names and day-first forms
+  (`4. Mai 2023`, `Donnerstag, 4. Mai 2023 12:30`, `4 août 2023`,
+  `4 de mayo de 2023`) — fixed tables, no locale detection
 - numeric slash (`01/02/2024 10:03` — MDY by default like
   dateparser's `en` locale; `dayfirst=True` flips it)
 - relative (`Today at 10:03 AM`, `Yesterday at 22:15`) — ONLY when a
@@ -41,6 +44,36 @@ for _m, _i in list(_MONTHS.items()):
     _MONTHS[_m[:3]] = _i
 _MONTHS["sept"] = 9
 
+# non-English month tables (r3 verdict Next #10) — the German, French
+# and Spanish names dateparser's locale detection would absorb at the
+# reference's call sites, behind the same fixed-rule determinism.
+# Unaccented spellings included so mojibake'd pages still parse.
+_MONTHS.update({
+    # German
+    "januar": 1, "februar": 2, "märz": 3, "marz": 3, "mrz": 3,
+    "mai": 5, "juni": 6, "juli": 7, "oktober": 10, "okt": 10,
+    "dezember": 12, "dez": 12,
+    # French
+    "janvier": 1, "janv": 1, "février": 2, "fevrier": 2, "févr": 2,
+    "fevr": 2, "fév": 2, "mars": 3, "avril": 4, "avr": 4, "juin": 6,
+    "juillet": 7, "juil": 7, "août": 8, "aout": 8, "septembre": 9,
+    "octobre": 10, "novembre": 11, "décembre": 12, "decembre": 12,
+    "déc": 12,
+    # Spanish
+    "enero": 1, "ene": 1, "febrero": 2, "marzo": 3, "abril": 4,
+    "abr": 4, "mayo": 5, "junio": 6, "julio": 7, "agosto": 8,
+    "ago": 8, "septiembre": 9, "setiembre": 9, "set": 9,
+    "octubre": 10, "noviembre": 11, "diciembre": 12, "dic": 12,
+})
+
+# weekday tokens that may prefix a free-text date (en + de/fr/es)
+_WEEKDAY = (
+    r"(?:(?:Mon|Tue(?:s)?|Wed(?:nes)?|Thu(?:rs)?|Fri|Sat(?:ur)?|Sun)(?:day)?"
+    r"|Montag|Dienstag|Mittwoch|Donnerstag|Freitag|Samstag|Sonntag"
+    r"|lundi|mardi|mercredi|jeudi|vendredi|samedi|dimanche"
+    r"|lunes|martes|mi[ée]rcoles|jueves|viernes|s[áa]bado|domingo)"
+)
+
 _TIME = r"(?P<h>\d{1,2}):(?P<mi>\d{2})(?::(?P<s>\d{2}))?\s*(?P<ap>[ap]\.?m\.?)?"
 _ZONE = r"(?:Z|UTC|GMT|[+-]\d{2}:?\d{2})?"
 
@@ -62,9 +95,10 @@ _MONTH_NAME_RE = re.compile(
     # optional weekday prefix: phpBB's default style is
     # "Thu May 04, 2023 12:30 pm" (phpbb.py:465-471 feeds it to
     # dateparser); the prefix is restricted to weekday tokens so a
-    # month name is never mis-consumed as one
-    r"^(?:(?:Mon|Tue(?:s)?|Wed(?:nes)?|Thu(?:rs)?|Fri|Sat(?:ur)?|Sun)(?:day)?,?\s+)?"
-    r"(?P<mo>[A-Za-z]{3,9})\.?\s+(?P<d>\d{1,2})(?:st|nd|rd|th)?,?\s+(?P<y>\d{4})"
+    # month name is never mis-consumed as one. Month token class is
+    # unicode-letter so accented names (août, März) match.
+    r"^(?:" + _WEEKDAY + r",?\s+)?"
+    r"(?P<mo>[^\W\d_]{3,10})\.?\s+(?P<d>\d{1,2})(?:st|nd|rd|th)?,?\s+(?P<y>\d{4})"
     r"(?:,?\s+(?:at\s+)?" + _TIME + r")?$",
     re.I,
 )
@@ -168,9 +202,13 @@ def parse_freeform(text: str, base: datetime | None = None,
         tz = m.groupdict().get("tz")
         return _shift_to_utc(dt, tz).isoformat()
 
-    # day-first: "2 January 2024 10:03" (also covers "02 Jan 2024")
+    # day-first: "2 January 2024 10:03", "02 Jan 2024", and the
+    # de/fr/es forms "4. Mai 2023" (German ordinal dot), "4 mai 2023",
+    # "4 de mayo de 2023" (Spanish connectors), optional weekday
     m = re.match(
-        r"^(?P<d>\d{1,2})(?:st|nd|rd|th)?\s+(?P<mo>[A-Za-z]{3,9})\.?,?\s+(?P<y>\d{4})"
+        r"^(?:" + _WEEKDAY + r",?\s+)?"
+        r"(?P<d>\d{1,2})(?:st|nd|rd|th|\.)?\s+(?:de\s+)?"
+        r"(?P<mo>[^\W\d_]{3,10})\.?,?\s+(?:de\s+)?(?P<y>\d{4})"
         r"(?:,?\s+(?:at\s+)?" + _TIME + r")?$", t, re.I)
     if m:
         mo = _MONTHS.get(m.group("mo").lower().rstrip("."))

@@ -114,7 +114,12 @@ _AFTER_RAQUO = re.compile(r"»(.+)", re.M)
 _SMF_DATE_FMT = "%B %d, %Y, %H:%M"
 
 
-def _climb_until(node: Node, pred, max_up: int = 3) -> Node | None:
+def _climb_until(node: Node, pred, max_up: int = 8) -> Node | None:
+    """Nearest enclosing ancestor satisfying ``pred``. The bound is 8
+    (was 3): hostile real-world markup with unclosed wrapper tags
+    nests the body several implicit levels deeper than the clean
+    layout, and the nearest-match semantics keep multi-post pages
+    scoped to their own row wrapper regardless of the bound."""
     cur = node
     for _ in range(max_up + 1):
         if cur is None:

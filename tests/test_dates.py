@@ -96,3 +96,34 @@ def test_smf_freeform_markup_roundtrip():
         pid, author, time_iso, indent, content = got[0]
         assert time_iso == t, f"style {num}: {time_iso}"
         assert (pid, author, content) == (f"p{num}", "ann@x", "<p>hello</p>")
+
+
+@pytest.mark.parametrize("text,expect", [
+    # German: ordinal-dot day-first, weekday prefixes, abbrevs
+    ("4. Mai 2023", "2023-05-04T00:00:00"),
+    ("Donnerstag, 4. Mai 2023 12:30", "2023-05-04T12:30:00"),
+    ("15. Dezember 2021, 23:59", "2021-12-15T23:59:00"),
+    ("1. März 2024", "2024-03-01T00:00:00"),
+    ("3. Okt. 2022 09:15", "2022-10-03T09:15:00"),
+    # French: plain day-first, accented + unaccented
+    ("4 août 2023", "2023-08-04T00:00:00"),
+    ("mardi, 2 janvier 2024 10:03", "2024-01-02T10:03:00"),
+    ("28 février 2020 18:45", "2020-02-28T18:45:00"),
+    ("28 fevrier 2020", "2020-02-28T00:00:00"),  # mojibake-stripped
+    ("5 juil. 2019 07:00", "2019-07-05T07:00:00"),
+    # Spanish: "de" connectors, weekday, abbrevs
+    ("4 de mayo de 2023", "2023-05-04T00:00:00"),
+    ("domingo, 10 de septiembre de 2023 21:05", "2023-09-10T21:05:00"),
+    ("10 de setiembre de 2023", "2023-09-10T00:00:00"),
+    ("1 dic. 2022 08:30", "2022-12-01T08:30:00"),
+    # month-first with a non-English name (rare but dateparser-accepted)
+    ("Enero 2, 2024 10:03", "2024-01-02T10:03:00"),
+])
+def test_parse_freeform_i18n(text, expect):
+    assert parse_freeform(text) == expect
+
+
+def test_i18n_no_false_positives():
+    # a non-month word must not suddenly parse
+    assert parse_freeform("4 foobar 2023") is None
+    assert parse_freeform("notaday, 4. Mai 2023") is None

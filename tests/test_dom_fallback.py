@@ -293,3 +293,101 @@ def test_detect_survives_attribute_reorder():
     page = b'<html><head><meta name="generator" content="synthforum/1.0"></head></html>'
     assert hg.detect("http://x.test/", page)
     assert hg.detect("http://x.test/", shuffle_attributes(page))
+
+
+# --------------------------------------------- hostile real-world markup
+# r3 verdict Next #7: the lxml-recovery class of inputs — unclosed
+# tags, entity soup, nested quotes, uppercase tag names, unquoted
+# attributes, stray comments. Hand-written in the shape of real aged
+# forum skins (nothing copied from any site); the DOM fallback must
+# still extract the same structured fields.
+PHPBB_HOSTILE = """
+<DIV id=p15 class="post has-profile bg2">
+ <div class=inner>
+  <div class="postbody">
+   <h3 class=first><a href="#p15">Re: &quot;topic&quot; &amp;amp; more</a>
+   <p class="author"><span class=responsive-hide>by
+     <a href="./memberlist.php?mode=viewprofile&u=2" class="username-coloured">alice</a>
+     &raquo; </span><TIME datetime="2023-05-04T12:30:00">Thu May 04, 2023 12:30 pm</TIME>
+   <!-- skin comment <b>not real markup</b> -->
+   <div class="content" id="post_content15">Hello&nbsp;<b>world</b>
+    <blockquote class="quote"><cite>bob wrote: &#8230;</cite>
+     outer quote
+     <blockquote><cite>carol wrote:</cite> inner &lt;quote&gt;</blockquote>
+    </blockquote>
+   </div>
+  </div>
+ </div>
+</DIV>
+"""
+
+SMF_HOSTILE = """
+<div class="post_wrapper">
+ <div class="poster"><h4><a href="/index.php?action=profile;u=5">carol</a></h4>
+ <div class="postarea">
+  <div class="flow_hidden"><div class="keyinfo">
+   <h5 id=subject_99><a href="/index.php?topic=1.msg99#msg99">Re: subject</a></h5>
+   <div class="smalltext">&#171; <strong>Reply #3 on:</strong> March 10, 2021, 14:05:33 &#187;</div>
+  </div>
+  <div class="post"><div class="inner" id="msg_99">Body text <b>more</b></div></div>
+ </div>
+</div>
+"""
+
+VBULLETIN_HOSTILE = """
+<div class="b-post js-post" data-node-id=456>
+ <div class="b-post__body">
+  <div class="author"><a href=/member/7-dave class=js-user-link>dave</a>
+  <div class="b-post__meta">
+   <time itemprop=dateCreated datetime="2020-08-08T10:00:00">
+  <div class="js-post__content-text restore">vb content</div>
+ </div>
+</div>
+<div class="b-post b-comment" data-node-id="457">
+ <div class="author"><a>lurker</a></div>
+ <time itemprop="dateCreated" datetime="2020-08-08T11:00:00">
+ <div class="js-post__content-text">comment noise</div>
+</div>
+"""
+
+PROBOARDS_HOSTILE = """
+<div class="post item" id=post-321>
+ <div class="content">
+  <div class="info"><a href="/user/3" class="user-link o-user-link">frank</a>
+   <ABBR class="time" data-timestamp=1600000000000 title="Sep 13, 2020">Sep 13, 2020</ABBR>
+  <div class="message">pb&nbsp;content</div>
+ </div>
+"""
+
+
+@pytest.mark.parametrize(
+    "dialect,markup,pid,author,time_iso,content_frag",
+    [
+        ("phpbb", PHPBB_HOSTILE, "p15", "alice", "2023-05-04T12:30:00",
+         "inner &lt;quote&gt;"),
+        ("smf", SMF_HOSTILE, "p99", "carol", "2021-03-10T14:05:33",
+         "Body text <b>more</b>"),
+        ("vbulletin", VBULLETIN_HOSTILE, "p456", "dave",
+         "2020-08-08T10:00:00", "vb content"),
+        ("proboards", PROBOARDS_HOSTILE, "p321", "frank",
+         "2020-09-13T12:26:40", "pb&nbsp;content"),
+    ],
+)
+def test_hostile_markup_extraction(dialect, markup, pid, author, time_iso,
+                                   content_frag):
+    kernel = html_dom.DIALECT_KERNELS_DOM[dialect]
+    posts = list(kernel(parse_dom(markup)))
+    assert len(posts) == 1, (dialect, posts)
+    got = posts[0]
+    assert (got[0], got[1], got[2]) == (pid, author, time_iso), dialect
+    assert content_frag in got[4], (dialect, got[4])
+
+
+def test_hostile_nested_quotes_roundtrip():
+    # nested <blockquote> inside the content div must come back with
+    # its structure intact (inner_html is a raw substring)
+    posts = list(html_dom.DIALECT_KERNELS_DOM["phpbb"](parse_dom(PHPBB_HOSTILE)))
+    content = posts[0][4]
+    assert content.count("<blockquote") == 2
+    assert content.count("</blockquote>") == 2
+    assert "outer quote" in content and "carol wrote:" in content

@@ -38,12 +38,83 @@ def gateway(fixture_dir):
     seen_agents: list[str] = []
 
     class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"  # keep-alive: exercises conn reuse
+
+        def _special(self, url: str) -> bool:
+            """Synthetic endpoints for the hardened-HTTP cases (r3
+            verdict Next #6): redirects, gzip, charset."""
+            import gzip as _gzip
+            from urllib.parse import quote
+
+            if url == "http://special.test/redirect-chain":
+                # absolute redirect to the relative-redirect hop
+                self.send_response(301)
+                self.send_header("Location",
+                                 "/" + quote("http://special.test/redirect-rel",
+                                             safe=""))
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return True
+            if url == "http://special.test/redirect-rel":
+                self.send_response(302)
+                self.send_header("Location",
+                                 quote("http://special.test/final", safe=""))
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return True
+            if url == "http://special.test/final":
+                body = b"you made it"
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return True
+            if url == "http://special.test/redirect-loop":
+                self.send_response(302)
+                self.send_header("Location",
+                                 "/" + quote("http://special.test/redirect-loop",
+                                             safe=""))
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return True
+            if url == "http://special.test/gzipped":
+                raw = ("compressed page body " * 20).encode()
+                if "gzip" in (self.headers.get("Accept-Encoding") or ""):
+                    body = _gzip.compress(raw)
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html")
+                    self.send_header("Content-Encoding", "gzip")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                else:
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html")
+                    self.send_header("Content-Length", str(len(raw)))
+                    self.end_headers()
+                    self.wfile.write(raw)
+                return True
+            if url == "http://special.test/latin1":
+                body = "café déjà-vu".encode("latin-1")
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/html; charset=ISO-8859-1")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return True
+            return False
+
         def do_GET(self):  # noqa: N802 (stdlib naming)
             seen_agents.append(self.headers.get("User-Agent", ""))
             url = unquote(self.path.lstrip("/"))
+            if self._special(url):
+                return
             row = store.lookup([url])[0]
             if row < 0:
                 self.send_response(404)
+                self.send_header("Content-Length", "0")
                 self.end_headers()
                 return
             status = store.table["status"][row].as_py()
@@ -53,6 +124,8 @@ def gateway(fixture_dir):
             if status == 200:
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
+            else:
+                self.send_header("Content-Length", "0")
             self.end_headers()
             if status == 200:
                 self.wfile.write(body)
@@ -75,6 +148,47 @@ def test_http_page_store_unit(gateway):
     # a dead port is a transient 503, not an exception
     dead = HttpPageStore("http://127.0.0.1:9", timeout_s=0.3)
     assert dead.fetch("http://x.test/")[0] == 503
+
+
+def test_http_redirects_followed(gateway):
+    base, _ = gateway
+    s = HttpPageStore(base, timeout_s=5.0, user_agent=UA)
+    # 301 absolute → 302 relative Location → 200, followed transparently
+    status, body, ctype = s.fetch("http://special.test/redirect-chain")
+    assert (status, body) == (200, b"you made it")
+    # a redirect loop terminates at max_redirects with the 3xx status
+    # (lands in the failed set, never spins)
+    status, body, _ = s.fetch("http://special.test/redirect-loop")
+    assert status == 302 and body == b""
+
+
+def test_http_gzip_inflated(gateway):
+    base, _ = gateway
+    s = HttpPageStore(base, timeout_s=5.0, user_agent=UA)
+    status, body, ctype = s.fetch("http://special.test/gzipped")
+    assert status == 200
+    assert body == ("compressed page body " * 20).encode()  # inflated
+
+
+def test_http_charset_normalized_to_utf8(gateway):
+    base, _ = gateway
+    s = HttpPageStore(base, timeout_s=5.0, user_agent=UA)
+    status, body, ctype = s.fetch("http://special.test/latin1")
+    assert status == 200
+    assert body.decode("utf-8") == "café déjà-vu"
+    assert "charset=utf-8" in ctype.lower()
+
+
+def test_http_connection_reuse(gateway):
+    base, _ = gateway
+    s = HttpPageStore(base, timeout_s=5.0, user_agent=UA)
+    s.fetch("http://special.test/final")
+    before = s.n_reused
+    for _ in range(5):
+        assert s.fetch("http://special.test/final")[0] == 200
+    # every follow-up request rode the pooled keep-alive connection
+    assert s.n_reused >= before + 5
+    assert len(s._conns) == 1
 
 
 def test_http_crawl_matches_golden(ray_session, gateway, fixture_dir, tmp_path):
