@@ -207,6 +207,32 @@ def curation_bench() -> dict:
     }
 
 
+def text_curation_bench(sf_dir: str) -> dict:
+    """Text-delivery headline (r3 verdict Next #8): the full curation
+    chain (quality ∩ exact ∩ MinHash keepers → train-ready packed
+    parquet shards — ONE text shuffle) over the sf documents table,
+    fresh output dir (no resume credit)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from forum_dl_ray.ops.curate import corpus_curated_export
+
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    out = "/tmp/fdr_bench_textcurate"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
+    manifest = corpus_curated_export(sf_dir, out, resume=False)
+    dt = time.perf_counter() - t0
+    return {
+        "textcur_docs_in": int(n_docs),
+        "textcur_docs_kept": int(manifest["n_docs"].sum()),
+        "textcur_shards": int(len(manifest)),
+        "textcur_elapsed_sec": round(dt, 3),
+        "textcur_docs_per_sec": round(n_docs / dt, 1),
+    }
+
+
 def steady_run(num_cpus: int, big: bool, reps: int = 2) -> dict:
     """Warmup + best-of-reps steady-state run (session must be up)."""
     from forum_dl_ray.crawl.steady import steady_bench
@@ -266,6 +292,9 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
     curation = max((curation_bench() for _ in range(reps)),
                    key=lambda c: c["curation_images_per_sec"])
     total += curation["curation_elapsed_sec"]
+    textcur = max((text_curation_bench(sf_dir) for _ in range(reps)),
+                  key=lambda c: c["textcur_docs_per_sec"])
+    total += textcur["textcur_elapsed_sec"]
 
     import ray
 
@@ -282,6 +311,7 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
         **fops,
         **steady,
         **curation,
+        **textcur,
     }
 
 

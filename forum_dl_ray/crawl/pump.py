@@ -18,9 +18,11 @@ process cannot feed ~10M urls/s. This module shards the PUMP itself:
   exactly ONE pump: a token bucket only ever sees one process's
   monotonic clock (the same invariant the single driver gave it).
 - The driver degrades to a COORDINATOR: one small RPC per pump per
-  tick (reap + dispatch + idle flag) and the global termination test
-  (all pumps idle ∧ no tasks in flight ∧ frontier drained) — O(P) per
-  tick instead of O(urls).
+  tick BURST (a pump runs up to 64 reap→poll→dispatch ticks
+  autonomously per `drain` call, event-driven on task completion) and
+  the global termination test (all pumps idle ∧ no tasks in flight ∧
+  frontier drained) — O(P) per burst instead of O(urls), and the
+  dispatch rate no longer depends on the coordinator's tick cadence.
 
 Checkpoint/resume works here too, via tick quiesce: every
 ``checkpoint_every`` coordinator ticks the pumps drain their in-flight
@@ -110,13 +112,19 @@ class PumpActor:
             self.inflight = []
         return {"part": self.part, "total": self.n_dispatched}
 
-    def pump_once(self) -> dict:
-        """One coordinator tick: reap finished tasks, poll own shards,
+    def pump_once(self, block: bool = False) -> dict:
+        """One pump tick: reap finished tasks, poll own shards,
         dispatch new tasks. Returns (dispatched, inflight) so the
-        coordinator can decide global quiescence."""
+        caller (coordinator or the local drain loop) can decide
+        quiescence. With ``block=True`` a tick whose window is full
+        and has nothing reaped waits (briefly) for ONE task to finish
+        instead of returning empty-handed — dispatch becomes
+        event-driven rather than bounded by the tick cadence."""
         if self.inflight:
             done, rest = ray.wait(self.inflight, num_returns=len(self.inflight),
                                   timeout=0)
+            if not done and block and len(rest) >= self.max_inflight:
+                done, rest = ray.wait(rest, num_returns=1, timeout=0.02)
             ray.get(done)  # propagate task failures loudly
             self.inflight = rest
         dispatched = 0
@@ -165,6 +173,32 @@ class PumpActor:
         self.n_dispatched += dispatched
         return {"dispatched": dispatched, "inflight": len(self.inflight),
                 "total": self.n_dispatched}
+
+    def drain(self, max_ticks: int = 64, idle_stop: int = 5) -> dict:
+        """Run up to ``max_ticks`` pump ticks locally — one coordinator
+        RPC buys a whole burst. At 4N cpus the per-tick coordinator
+        round trip (O(pumps) ray.get per tick) otherwise bounds the
+        dispatch rate: more cores finish more tasks per second, so the
+        refill cadence must rise with the cluster, and a driver-paced
+        tick loop cannot. Returns early after ``idle_stop`` consecutive
+        locally-idle ticks (nothing dispatched, nothing in flight) so
+        the coordinator can test global termination — offers from
+        OTHER pumps' in-flight tasks can still land in this pump's
+        shards, so idleness is only decidable globally."""
+        ticks = 0
+        idle = 0
+        while ticks < max_ticks:
+            s = self.pump_once(block=True)
+            ticks += 1
+            if s["dispatched"] or s["inflight"]:
+                idle = 0
+            else:
+                idle += 1
+                if idle >= idle_stop or ticks >= max_ticks:
+                    break
+                time.sleep(0.002)  # politeness tokens may refill
+        return {"ticks": ticks, "total": self.n_dispatched,
+                "busy": idle == 0}
 
 
 def pump_drain_bench(fixture_dir: str, out_root: str, num_cpus: int,
@@ -229,9 +263,9 @@ def pump_drain_bench(fixture_dir: str, out_root: str, num_cpus: int,
     t0 = time.perf_counter()
     n_total = 0
     while True:
-        stats = ray.get([p.pump_once.remote() for p in pumps])
+        stats = ray.get([p.drain.remote(max_ticks=64) for p in pumps])
         n_total = sum(s["total"] for s in stats)
-        busy = any(s["dispatched"] or s["inflight"] for s in stats)
+        busy = any(s["busy"] for s in stats)
         if not busy and frontier.pending_count() == 0:
             break
         if not busy:
@@ -324,13 +358,25 @@ class MultiPumpCrawler:
         t0 = time.perf_counter()
         ticks = ckpt_tick
         n_total = 0
+        # pumps run autonomous tick BURSTS (PumpActor.drain) — one
+        # coordinator RPC per burst instead of per tick — capped so a
+        # burst never crosses a checkpoint boundary or the max_waves
+        # tick budget (the tests' "kill" point)
+        next_ckpt = ticks + cfg.checkpoint_every if cfg.checkpoint_every else None
         while True:
-            stats = ray.get([p.pump_once.remote() for p in pumps])
-            ticks += 1
+            budget = 64
+            if next_ckpt is not None:
+                budget = min(budget, next_ckpt - ticks)
+            if cfg.max_waves:
+                budget = min(budget, ckpt_tick + cfg.max_waves - ticks)
+            stats = ray.get([p.drain.remote(max_ticks=budget) for p in pumps])
+            ticks += max(s["ticks"] for s in stats)
             n_total = sum(s["total"] for s in stats)
-            busy = any(s["dispatched"] or s["inflight"] for s in stats)
-            if cfg.checkpoint_every and ticks % cfg.checkpoint_every == 0:
+            busy = any(s["busy"] for s in stats)
+            if next_ckpt is not None and ticks >= next_ckpt:
                 self._checkpoint(frontier, pumps, ticks)
+                while next_ckpt <= ticks:
+                    next_ckpt += cfg.checkpoint_every
             if not busy and frontier.pending_count() == 0:
                 break
             if cfg.max_waves and ticks - ckpt_tick >= cfg.max_waves:

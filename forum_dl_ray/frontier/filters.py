@@ -131,13 +131,52 @@ class CuckooFilter:
         hit2 = (self.table[i2] == fp[:, None]).any(axis=1)
         return hit1 | hit2
 
+    # pattern (bitmask of nonzero slots) -> first empty slot for COMPACT
+    # rows (occupied slots form a prefix); -1 = non-compact (a delete
+    # left a mid-row hole; take the per-key path), 4 = full
+    _FIRST_EMPTY = np.array(
+        [0, 1, -1, 2, -1, -1, -1, 3, -1, -1, -1, -1, -1, -1, -1, 4],
+        dtype=np.int64)
+    _PAT_W = np.array([1, 2, 4, 8], dtype=np.uint8)
+
     def insert_many(self, keys: np.ndarray) -> int:
-        """Insert all keys; returns number inserted. Raises on full table."""
+        """Insert all keys; returns number inserted. Raises on full table.
+
+        Vectorized fast path: each key tries its two candidate buckets'
+        first empty slot; keys colliding on a bucket within the batch
+        get consecutive slots via a stable-sort rank. Only keys whose
+        both buckets are full (→ eviction kicks) fall to the per-key
+        loop — at the filter's working load (<0.95) that is a tail.
+        """
         if len(keys) == 0:
             return 0
         fps = self._fingerprint(keys)
         i1s = self._index1(keys)
         i2s = self._alt_index(i1s, fps)
+        pending = np.arange(len(keys))
+        for cand in (i1s, i2s):
+            if not len(pending):
+                break
+            bucket = cand[pending]
+            order = np.argsort(bucket, kind="stable")
+            bs = bucket[order]
+            new_grp = np.r_[True, bs[1:] != bs[:-1]]
+            grp_start = np.maximum.accumulate(
+                np.where(new_grp, np.arange(len(bs)), 0))
+            rank = np.arange(len(bs)) - grp_start
+            rows = self.table[bs]
+            pat = ((rows != 0).astype(np.uint8) * self._PAT_W).sum(axis=1)
+            fe = self._FIRST_EMPTY[pat]
+            slot = fe + rank
+            ok = (fe >= 0) & (slot < self.SLOTS)
+            if ok.any():
+                p_ok = pending[order][ok]
+                self.table[bs[ok], slot[ok]] = fps[p_ok]
+                self.n_items += int(ok.sum())
+            pending = pending[order][~ok]
+        if not len(pending):
+            return len(keys)
+        fps, i1s, i2s = fps[pending], i1s[pending], i2s[pending]
         table = self.table
         for fp, i1, i2 in zip(fps, i1s, i2s):
             placed = False
