@@ -161,7 +161,9 @@ def _ivf_digest(src: str, n_clusters: int, seed: int) -> str:
     import pyarrow.parquet as pq
 
     h = hashlib.blake2b(digest_size=12)
-    h.update(f"{n_clusters}|{seed}|".encode())
+    # v2: data files carry the bucket id as a `bkt` column (one-call
+    # probed reads) — version the digest so v1 cached indexes rebuild
+    h.update(f"{n_clusters}|{seed}|v2|".encode())
     files = ([os.path.join(r, f) for r, _, fs in os.walk(src)
               for f in sorted(fs) if f.endswith(".parquet")]
              if os.path.isdir(src) else [src])
@@ -209,8 +211,12 @@ def ivf_build(sf_dir: str, index_dir: str | None = None,
         cent_ = ray.get(cent_ref)
         _, mat = _to_matrix(batch.to_pandas())
         bucket = np.argmax(mat @ cent_.T, axis=1)
-        return batch.append_column("bucket",
-                                   pa.array(bucket.astype(np.int64), pa.int64()))
+        arr = pa.array(bucket.astype(np.int64), pa.int64())
+        # `bucket` becomes the directory key (stripped from the data by
+        # partition_cols); `bkt` stays IN the files so the query path
+        # can read the probed dirs in one read_parquet call without
+        # per-directory tagging stages
+        return batch.append_column("bucket", arr).append_column("bkt", arr)
 
     import pyarrow.fs as pafs
 
@@ -247,28 +253,19 @@ def ivf_bucket_rows(index_dir: str) -> dict[int, int]:
 
 
 def _read_probed_buckets(index_dir: str, buckets: list[int]) -> rd.Dataset | None:
-    """Dataset over ONLY the probed bucket directories, with the
-    bucket id re-attached as a column (the partitioned write encodes
-    it in the path). Buckets absent from the index (empty at build
-    time) are skipped."""
-    parts = []
-    for b in sorted(set(int(b) for b in buckets)):
-        d = os.path.join(index_dir, f"bucket={b}")
-        if not os.path.isdir(d):
-            continue
-
-        def tag(batch: pa.Table, _b: int = b) -> pa.Table:
-            return batch.append_column(
-                "bucket", pa.array(np.full(len(batch), _b, dtype=np.int64)))
-
-        parts.append(
-            rd.read_parquet(d, columns=["vec_id", "embedding"]).map_batches(
-                tag, batch_format="pyarrow", runtime_env=_RENV,
-                batch_size=4096))
-    if not parts:
+    """Dataset over ONLY the probed bucket directories — one
+    read_parquet call; the bucket id travels as the in-file ``bkt``
+    column, so no per-directory tagging stages or unions. Buckets
+    absent from the index (empty at build time) are skipped."""
+    dirs = [
+        d for b in sorted(set(int(b) for b in buckets))
+        if os.path.isdir(d := os.path.join(index_dir, f"bucket={b}"))
+    ]
+    files = [os.path.join(d, f) for d in dirs
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    if not files:
         return None
-    ds = parts[0]
-    return ds.union(*parts[1:]) if len(parts) > 1 else ds
+    return rd.read_parquet(files, columns=["vec_id", "embedding", "bkt"])
 
 
 def ivf_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
@@ -290,7 +287,7 @@ def ivf_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
 
     def search(batch: pa.Table) -> pa.Table:
         q_ids_, q_mat_, probe_ = ray.get(q_ref)
-        bucket = batch["bucket"].to_numpy(zero_copy_only=False)
+        bucket = batch["bkt"].to_numpy(zero_copy_only=False)
         ids, mat = _to_matrix(batch.to_pandas())
         out_q, out_v, out_c = [], [], []
         for qi, qid in enumerate(q_ids_):
