@@ -48,11 +48,25 @@ def images_table_path(sf_dir: str | None = None) -> str:
 
 
 def _read_images(columns=None, src: str | None = None) -> rd.Dataset:
-    """``src`` overrides the fixture table: a parquet file OR a
+    """``src`` overrides the fixture table: a parquet file, a
     directory tree (e.g. a crawl run's ``out/images`` — the crawl's
     asset stage emits exactly the input_hint schema, assets.py:53-64,
-    so every curation op here runs unchanged on crawl output)."""
-    return rd.read_parquet(src or images_table_path(), columns=columns)
+    so every curation op here runs unchanged on crawl output), or a
+    ``.lance`` dataset (the north rule's native layout; ray.data has
+    first-class read_lance/write_lance). The lance package is not in
+    this container, so the lance branch is import-gated — the ops
+    themselves are storage-agnostic Dataset transforms either way."""
+    src = src or images_table_path()
+    if src.endswith(".lance"):
+        try:
+            import lance  # noqa: F401  (absent here; seam for real deploys)
+        except ImportError as e:
+            raise ImportError(
+                "the .lance image-table path needs the `lance` package, "
+                "which is not installed in this container; use the "
+                "equivalent parquet table instead") from e
+        return rd.read_lance(src, columns=columns)
+    return rd.read_parquet(src, columns=columns)
 
 
 def image_decode_stats(sf_dir: str) -> pd.DataFrame:

@@ -44,3 +44,18 @@ def test_image_caption_sim_streaming_deterministic(ray_session):
     assert len(a) > 0
     assert (a["sim_e4"].abs() <= 10000).all()
     assert a["sim_e4"].nunique() > 1  # scores vary across pairs
+
+
+def test_lance_seam_is_import_gated(ray_session):
+    """The north rule's native layout is a Lance table; the container
+    lacks the lance package, so the .lance branch of the image-table
+    reader must fail loudly with guidance (not an AttributeError deep
+    in ray.data), while parquet paths are untouched."""
+    import pytest
+
+    from forum_dl_ray.ops.images_ops import _read_images
+
+    with pytest.raises(ImportError, match="lance"):
+        _read_images(src="/tmp/nonexistent_table.lance")
+    # parquet default path unaffected
+    assert _read_images(columns=["image_id"]).count() > 0
