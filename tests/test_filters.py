@@ -136,3 +136,34 @@ def test_frontier_same_site_scope(ray_session):
     assert t["url"].to_pylist() == ["http://in.test/board/b1/"]
     assert f.counters()["offsite_denied"] == 1
     assert f.pending_count() == 0
+
+
+def test_cuckoo_vectorized_insert_with_mid_row_holes():
+    """The vectorized insert fast path assumes occupied slots form a
+    row PREFIX; deletes punch mid-row holes, which must route those
+    rows to the per-key path (pattern LUT = -1), never misplace a
+    fingerprint. Interleave inserts and deletes heavily and assert the
+    no-false-negative contract after every round."""
+    rng = np.random.default_rng(11)
+    cf = CuckooFilter(capacity=8_192)
+    live: list[int] = []
+    pool = rng.integers(-(2**62), 2**62, size=6_000, dtype=np.int64)
+    pool = np.unique(pool)
+    off = 0
+    for round_no in range(6):
+        batch = pool[off:off + 800]
+        off += 800
+        cf.insert_many(batch)
+        live.extend(int(k) for k in batch)
+        # delete a scattered third — creates holes at varied slots
+        victims = live[round_no % 3::3][:400]
+        for k in victims:
+            cf.delete(k)
+        live = [k for k in live if k not in set(victims)]
+        assert cf.contains_many(np.array(live, dtype=np.int64)).all(), (
+            f"false negative after round {round_no}")
+    # refill the holes through the vectorized path
+    refill = pool[off:off + 1_500]
+    cf.insert_many(refill)
+    live.extend(int(k) for k in refill)
+    assert cf.contains_many(np.array(live, dtype=np.int64)).all()
