@@ -124,3 +124,32 @@ def test_fresh_run_clears_stale_checkpoints(ray_session, micro_dir, tmp_path):
     assert not os.path.exists(latest)
     with pytest.raises(FileNotFoundError):
         MultiPumpCrawler(micro_dir, out, cfg_nockpt, n_pumps=2).run(resume=True)
+
+
+def test_pump_resume_mid_boundary_kill(ray_session, micro_dir, micro_golden,
+                                       tmp_path):
+    """Burst-budget arithmetic: checkpoint_every=2 with max_waves=3
+    makes the coordinator run burst budgets {2, 1} (a burst may never
+    cross the checkpoint boundary or the kill budget), so the kill
+    lands BETWEEN checkpoints — resume must restore the tick-2
+    snapshot, prune part files above its watermarks, and still
+    converge to the golden walk."""
+    out = str(tmp_path / "pump_midkill")
+    cfg_stop = CrawlConfig(num_shards=4, min_rows_per_task=64,
+                           checkpoint_every=2, max_waves=3)
+    stats1 = MultiPumpCrawler(micro_dir, out, cfg_stop, n_pumps=2).run()
+    ckpt_root = os.path.join(out, "checkpoints")
+    assert os.path.exists(os.path.join(ckpt_root, "LATEST_PUMP"))
+    latest = int(open(os.path.join(ckpt_root, "LATEST_PUMP")).read())
+    assert latest == 2  # exactly one checkpoint before the tick-3 kill
+    assert stats1["urls_fetched"] < len(micro_golden.seen)
+    MultiPumpCrawler(micro_dir, out,
+                     CrawlConfig(num_shards=4, min_rows_per_task=64),
+                     n_pumps=2).run(resume=True)
+    df = ordered_items(out).to_pandas()
+    assert df["order_key"].tolist() == [e["order_key"]
+                                        for e in micro_golden.entries]
+    assert df["content"].tolist() == [e["content"]
+                                      for e in micro_golden.entries]
+    seen = pq.read_table(os.path.join(out, "seen.parquet")).to_pylist()
+    assert {r["url"]: r["failed"] for r in seen} == micro_golden.seen
