@@ -192,6 +192,15 @@ class PumpActor:
             ticks += 1
             if s["dispatched"] or s["inflight"]:
                 idle = 0
+                if not s["dispatched"] and self.inflight:
+                    # frontier starved but work in flight (pagination
+                    # chains do this constantly): wait event-driven for
+                    # ONE completion — its parse offers are what will
+                    # refill the frontier — instead of hammering the
+                    # shard poll RPCs in a tight loop. (pump_once only
+                    # blocks when the window is FULL; this covers the
+                    # partially-full starved case.)
+                    ray.wait(self.inflight, num_returns=1, timeout=0.02)
             else:
                 idle += 1
                 if idle >= idle_stop or ticks >= max_ticks:
