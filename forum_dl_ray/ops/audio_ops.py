@@ -29,6 +29,7 @@ import ray.data as rd
 
 from forum_dl_ray import STAGE_RUNTIME_ENV as _RENV
 
+from ._io import read_parquet_clean
 from .images_ops import images_table_path
 
 # wide binary rows -> small batches (SURVEY.md §7.4)
@@ -37,7 +38,7 @@ _RATE = 8000  # fake decoder's fixed sample rate
 
 
 def _read_media(columns=None) -> rd.Dataset:
-    return rd.read_parquet(images_table_path(), columns=columns)
+    return read_parquet_clean(images_table_path(), columns=columns)
 
 
 def _fake_pcm(media_id: str, raw: bytes, rate: int = _RATE) -> np.ndarray:

@@ -43,6 +43,7 @@ import ray.data as rd
 
 from forum_dl_ray import STAGE_RUNTIME_ENV as _RENV
 
+from ._io import read_parquet_clean
 from ._md5v import md5_low64
 
 _TARGET_SHARD_BYTES = 16 << 20  # sandbox-scale; ~1 GiB at 100 TB
@@ -183,7 +184,7 @@ def corpus_curated_export(
         lambda b: _tag(b, 0), batch_format="pyarrow", runtime_env=_RENV,
         batch_size=65536,
     )
-    docs = rd.read_parquet(
+    docs = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     ).map_batches(
         lambda b: _tag(b, 1), batch_format="pyarrow", runtime_env=_RENV,

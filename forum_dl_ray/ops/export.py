@@ -56,6 +56,7 @@ import ray.data as rd
 
 from forum_dl_ray import STAGE_RUNTIME_ENV as _RENV
 
+from ._io import read_parquet_clean
 from ._md5v import md5_low64
 from .images_ops import images_table_path
 
@@ -208,7 +209,7 @@ def image_shard_export(
             batch = batch.filter(pa.array(keep))
         return batch
 
-    ds = rd.read_parquet(src).map_batches(
+    ds = read_parquet_clean(src).map_batches(
         assign, batch_format="pyarrow", batch_size=256, runtime_env=_RENV
     )
 

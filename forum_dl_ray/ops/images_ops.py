@@ -27,6 +27,8 @@ import ray.data as rd
 
 from forum_dl_ray import STAGE_RUNTIME_ENV as _RENV
 
+from ._io import read_parquet_clean
+
 from ..images import (
     ImageDecodeStage,
     decode_image,
@@ -66,7 +68,7 @@ def _read_images(columns=None, src: str | None = None) -> rd.Dataset:
                 "which is not installed in this container; use the "
                 "equivalent parquet table instead") from e
         return rd.read_lance(src, columns=columns)
-    return rd.read_parquet(src, columns=columns)
+    return read_parquet_clean(src, columns=columns)
 
 
 def image_decode_stats(sf_dir: str) -> pd.DataFrame:

@@ -30,11 +30,12 @@ import ray.data as rd
 
 from forum_dl_ray import STAGE_RUNTIME_ENV as _RENV
 
+from ._io import read_parquet_clean
 from ._scale import default_buckets
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    return read_parquet_clean(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
 def _table_rows(sf_dir: str, table: str) -> int:
@@ -480,25 +481,46 @@ def signup_conversion(sf_dir: str, window_days: int = 7,
         return t.filter(keep)
 
     def convert(g: pd.DataFrame) -> pd.DataFrame:
-        out_u, out_s, out_c = [], [], []
-        for uid, grp in g.groupby("user_id", sort=True):
-            sign = np.sort(grp.loc[grp["is_signup"], "us"].to_numpy())
-            if not len(sign):
-                continue
-            purch = np.sort(grp.loc[~grp["is_signup"], "us"].to_numpy())
-            if len(purch):
-                nxt = np.searchsorted(purch, sign, side="right")
-                has = (nxt < len(purch)) & (purch[np.minimum(nxt, len(purch) - 1)]
-                                            <= sign + window_us)
-                n_conv = int(np.count_nonzero(has))
-            else:
-                n_conv = 0
-            out_u.append(int(uid))
-            out_s.append(len(sign))
-            out_c.append(n_conv)
-        return pd.DataFrame({"user_id": pd.Series(out_u, dtype="int64"),
-                             "n_signups": pd.Series(out_s, dtype="int64"),
-                             "n_converted": pd.Series(out_c, dtype="int64")})
+        """Bucket kernel, fully vectorized (no per-user Python — r4
+        verdict Next #3): factorize users + rank timestamps so each
+        event packs into one sortable int64 key ``user_idx << 32 |
+        ts_rank`` (both components < 2^31 per bucket by construction),
+        then ONE searchsorted of all signup keys into the sorted
+        purchase keys finds each signup's next same-user purchase;
+        window + same-user checks and the per-user counts (bincount)
+        are elementwise."""
+        empty = pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                              "n_signups": pd.Series([], dtype="int64"),
+                              "n_converted": pd.Series([], dtype="int64")})
+        is_s = g["is_signup"].to_numpy()
+        if not is_s.any():
+            return empty
+        uid = g["user_id"].to_numpy()
+        us = g["us"].to_numpy()
+        uu, uf = np.unique(uid, return_inverse=True)
+        tr = np.unique(us)
+        ur = np.searchsorted(tr, us)
+        key = (uf.astype(np.int64) << 32) | ur
+        s_key, s_uf, s_us = key[is_s], uf[is_s], us[is_s]
+        p_order = np.argsort(key[~is_s], kind="mergesort")
+        p_key = key[~is_s][p_order]
+        p_us = us[~is_s][p_order]
+        n_signups = np.bincount(s_uf, minlength=len(uu))
+        if len(p_key):
+            # side="right": first purchase with (user, ts) strictly
+            # greater — equal timestamps are NOT conversions
+            nxt = np.searchsorted(p_key, s_key, side="right")
+            ok = nxt < len(p_key)
+            safe = np.minimum(nxt, len(p_key) - 1)
+            has = (ok & ((p_key[safe] >> 32) == s_uf)
+                   & (p_us[safe] <= s_us + window_us))
+            n_conv = np.bincount(s_uf[has], minlength=len(uu))
+        else:
+            n_conv = np.zeros(len(uu), dtype=np.int64)
+        signed = n_signups > 0
+        return pd.DataFrame({"user_id": pd.Series(uu[signed], dtype="int64"),
+                             "n_signups": pd.Series(n_signups[signed], dtype="int64"),
+                             "n_converted": pd.Series(n_conv[signed], dtype="int64")})
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow", runtime_env=_RENV, batch_size=65536)

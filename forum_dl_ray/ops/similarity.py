@@ -32,9 +32,11 @@ import ray.data as rd
 
 from forum_dl_ray import STAGE_RUNTIME_ENV as _RENV
 
+from ._io import read_parquet_clean
+
 
 def _read_emb(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+    return read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
                            columns=["vec_id", "embedding"])
 
 
@@ -44,7 +46,7 @@ def _query_matrix(sf_dir: str, query_ids: list[int]) -> tuple[np.ndarray, np.nda
     the driver just to extract a handful of query rows)."""
     import pyarrow.compute as pc
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding"],
         filter=pc.field("vec_id").isin(query_ids),
@@ -265,7 +267,7 @@ def _read_probed_buckets(index_dir: str, buckets: list[int]) -> rd.Dataset | Non
              for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
     if not files:
         return None
-    return rd.read_parquet(files, columns=["vec_id", "embedding", "bkt"])
+    return read_parquet_clean(files, columns=["vec_id", "embedding", "bkt"])
 
 
 def ivf_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,

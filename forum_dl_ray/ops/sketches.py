@@ -36,6 +36,8 @@ import ray.data as rd
 
 from forum_dl_ray import STAGE_RUNTIME_ENV as _RENV
 
+from ._io import read_parquet_clean
+
 _P = 12                  # 4096 registers, ~1.6% standard error
 _M = 1 << _P
 
@@ -195,7 +197,7 @@ def heavy_hitters_cms(sf_dir: str, min_count: int = 200) -> pd.DataFrame:
 
     batch_cms.batch_size = 4096
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
     merged = _tree_reduce(docs, batch_cms, _CMS_CHUNKS, _CMS_D * _CMS_W,
                           np.int64, np.sum).reshape(_CMS_D, _CMS_W)
     cms_ref = ray.put(merged)
@@ -277,8 +279,8 @@ def distinct_counts_hll(sf_dir: str) -> pd.DataFrame:
 
     event_regs.batch_size = 65536
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
-    events = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
+    docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+    events = read_parquet_clean(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
     parts = []
     for metric, regs in (
         ("distinct_tokens",

@@ -22,6 +22,8 @@ import ray.data as rd
 
 from forum_dl_ray import STAGE_RUNTIME_ENV as _RENV
 
+from ._io import read_parquet_clean
+
 _TOKEN_RE = re.compile(r"\S+")
 # BPE-ish subword split: runs of letters, digits, or single punctuation
 _BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
@@ -37,7 +39,7 @@ _LANG_PROFILES = {
 
 
 def _read_docs(sf_dir: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+    return read_parquet_clean(os.path.join(sf_dir, "documents.parquet"), columns=columns)
 
 
 def token_counts(sf_dir: str) -> rd.Dataset:
