@@ -267,21 +267,29 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
     # Per-leg best-of-REPS (round-2 verdict Next #4): this VM's wall
     # time swings ±40%-to-3x under steal; a single rep in a noisy
     # window prints a 2x artifact that reads as a code regression.
-    # Best-of-N per query bounds the artifact at the cost of ~Nx bench
-    # wall time; per-leg rep counts are recorded in the JSON.
-    reps = max(1, int(os.environ.get("BENCH_REPS", "2")))
+    # r4 verdict Next #2: reps_per_leg=2 best-of did not steal-proof a
+    # 48s run — the query section (the variance-dominated part) now
+    # runs median-of-3+ and the artifact carries BOTH best and median
+    # per leg plus a noise ratio, so a stolen sample is visible in the
+    # JSON itself instead of reading as a code regression.
+    reps = max(1, int(os.environ.get("BENCH_REPS", "3")))
     qs = em.queries()
     qtimes: dict[str, float] = {}
+    qmedian: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:
-        best = None
+        times = []
         for _ in range(reps):
             t0 = time.perf_counter()
             _consume(qs[name](sf_dir))
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        best = times[0]
+        med = times[len(times) // 2]
         qtimes[name] = round(best, 3)
+        qmedian[name] = round(med, 3)
         total += best
+    noise = max(qmedian[n] / qtimes[n] for n in BENCH_QUERIES if qtimes[n] > 0)
 
     crawls = [crawl_bench(sf_dir, num_cpus) for _ in range(reps)]
     crawl = max(crawls, key=lambda c: c["crawl_urls_per_sec"])
@@ -304,6 +312,8 @@ def run_full(sf_dir: str, num_cpus: int) -> dict:
         "value": round(total, 3),
         "unit": "sec",
         "queries": qtimes,
+        "queries_median": qmedian,
+        "query_noise_med_over_best": round(noise, 2),
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "reps_per_leg": reps,

@@ -176,12 +176,33 @@ def download(
     stats = Crawler(pages_source, crawl_dir, cfg, seeds=seeds).run()
 
     if opts.warc_output:
-        # S5 lineage capture to a caller-chosen path (reference
-        # --warc-output; its WARC writer never records bodies either —
-        # writers/common.py WARC shell)
+        # S5 capture to a caller-chosen path: real ISO-28500 .warc.gz
+        # shards (request+response records with bodies — r4 verdict
+        # Next #5; the reference captures these via warcio,
+        # session.py:37-48) PLUS the queryable lineage parquet.
+        from .sinks.warc import warc_export
+
         lineage = entries_dataset(crawl_dir).filter(expr="type == 'lineage'")
-        lineage.write_parquet(opts.warc_output)
-        stats["warc"] = {"path": opts.warc_output}
+        lineage.write_parquet(os.path.join(opts.warc_output, "lineage"))
+        if opts.http_gateway is not None:
+            pages = ("http", opts.http_gateway, opts.timeout, opts.user_agent)
+        else:
+            from .crawl.fetch import put_store
+
+            pages = put_store(os.path.join(pages_source, "pages.parquet"))
+        records_dir = os.path.join(opts.warc_output, "records")
+        manifest = warc_export(
+            crawl_dir, pages, records_dir,
+            n_shards=opts.num_shards, download_time=opts.download_time,
+            user_agent=opts.user_agent,
+        )
+        stats["warc"] = {
+            "path": opts.warc_output,
+            "records": records_dir,
+            "lineage": os.path.join(opts.warc_output, "lineage"),
+            "n_responses": int(manifest["n_responses"].sum()),
+            "n_metadata": int(manifest["n_metadata"].sum()),
+        }
     if opts.files_output and cfg.fetch_assets:
         from .crawl.crawler import images_dataset
 

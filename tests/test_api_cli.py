@@ -212,9 +212,12 @@ def test_warc_and_files_output_sinks(fixture_dir, tmp_path):
         ),
     )
     assert stats["warc"]["path"] == warc
-    lineage = pq.read_table(warc)
+    lineage = pq.read_table(stats["warc"]["lineage"])
     assert lineage.num_rows > 0
     assert set(lineage["type"].to_pylist()) == {"lineage"}
+    # real .warc.gz records exist alongside the queryable parquet
+    assert stats["warc"]["n_responses"] > 0
+    assert any(n.endswith(".warc.gz") for n in os.listdir(stats["warc"]["records"]))
     payload = pq.read_table(files)
     assert payload.num_rows > 0
     assert "image_id" in payload.schema.names
