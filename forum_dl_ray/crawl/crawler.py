@@ -70,7 +70,9 @@ class CrawlConfig:
     max_inflight_waves: int = 4    # concurrent wave pipelines (driver threads)
     default_rate: float = float("inf")
     host_rates: dict = field(default_factory=dict)
-    robots: dict = field(default_factory=dict)  # host -> [disallow prefixes]
+    robots: dict = field(default_factory=dict)  # host -> [rules]: disallow
+                                   # patterns ('*'/'$' wildcards) and
+                                   # '!'-prefixed allows (crawl/robots.py)
     obey_robots_txt: bool = True   # discover /robots.txt per seed host
                                    # (config `robots` overrides per host)
     checkpoint_every: int = 0      # waves; 0 = disabled

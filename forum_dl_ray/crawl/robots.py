@@ -10,16 +10,22 @@ page store (one point lookup per host — O(hosts), never a scan) and
 merges the parsed rules with any config-provided ones (config wins on
 conflict: an operator override must beat the remote file).
 
-Parser scope (documented subset of RFC 9309): groups of
-``User-agent:`` lines followed by ``Disallow:`` lines. Group selection
-follows RFC 9309 §2.2.1: only the MOST SPECIFIC matching group(s)
-apply — the longest agent token that is a case-insensitive prefix of
-ours, with same-length groups merged in file order — and the ``*``
-group is used solely when no specific group matches. ``Allow:`` lines
-and wildcards are NOT implemented — the frontier's matcher is
-prefix-only, so we keep the parse honest to what enforcement can
-express (an unsupported Allow is ignored, which only ever makes the
-crawler MORE conservative).
+Parser scope (RFC 9309): groups of ``User-agent:`` lines followed by
+``Disallow:`` / ``Allow:`` lines. Group selection follows RFC 9309
+§2.2.1: only the MOST SPECIFIC matching group(s) apply — the longest
+agent token that is a case-insensitive prefix of ours, with
+same-length groups merged in file order — and the ``*`` group is used
+solely when no specific group matches.
+
+Rule encoding (r4 verdict Next #6): each rule is the raw robots.txt
+path PATTERN (``*`` = any char run, trailing ``$`` = end anchor, RFC
+9309 §2.2.3), with Allow rules carried as ``"!" + pattern`` (a valid
+robots path always starts with ``/`` or ``*``, so the prefix is
+unambiguous). The frontier matcher (frontier/shard.py
+``_compile_robots``) applies RFC §2.2.2 precedence: the longest
+matching pattern wins; on a length tie Allow beats Disallow; no match
+= allowed. Plain disallow-prefix lists (config compatibility) take a
+fast prefix-only path.
 """
 
 from __future__ import annotations
@@ -29,12 +35,14 @@ import pyarrow.parquet as pq
 
 
 def parse_robots(text: str, user_agent: str = "forum-dl-ray") -> list[str]:
-    """Disallow path prefixes applying to ``user_agent`` per RFC 9309
-    §2.2.1 group selection: only the most specific matching group(s)
-    apply (longest agent token that is a case-insensitive prefix of
-    ours; same-length matches merge in file order); the ``*`` group is
-    the fallback when no specific group matches, never a union with
-    one. Empty ``Disallow:`` (allow-all) contributes nothing."""
+    """Rules applying to ``user_agent`` per RFC 9309 §2.2.1 group
+    selection: only the most specific matching group(s) apply (longest
+    agent token that is a case-insensitive prefix of ours; same-length
+    matches merge in file order); the ``*`` group is the fallback when
+    no specific group matches, never a union with one. Disallow rules
+    are the raw pattern, Allow rules are ``"!" + pattern`` (module
+    docstring); empty values (allow-all Disallow) contribute
+    nothing."""
     ua = user_agent.lower()
     groups: list[tuple[list[str], list[str]]] = []  # (agents, rules)
     agents: list[str] = []
@@ -58,6 +66,8 @@ def parse_robots(text: str, user_agent: str = "forum-dl-ray") -> list[str]:
             group_open = False
             if field == "disallow" and value and agents:
                 rules.append(value)
+            elif field == "allow" and value and agents:
+                rules.append("!" + value)
     if agents:
         groups.append((agents, rules))
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import heapq
 import json
+import re
 from typing import Any
 
 import numpy as np
@@ -37,6 +38,42 @@ from ..schemas import FRONTIER_ENTRY, SEEN_CHECKPOINT
 from .filters import BloomFilter, CuckooFilter
 
 _ENTRY_COLS = [f.name for f in FRONTIER_ENTRY]
+
+
+def _compile_robots(rules: list[str]):
+    """Compile one host's robots rules (crawl/robots.py encoding:
+    disallow = raw pattern, allow = ``"!"+pattern``; ``*`` wildcard,
+    trailing ``$`` anchor — RFC 9309 §2.2.3, r4 verdict Next #6).
+
+    Returns ``(prefixes, None)`` for the fast path — all rules are
+    plain disallow prefixes, where any-prefix-match ≡ RFC longest-match
+    because every matching rule votes disallow — else ``(None,
+    [(regex, pattern_len, allow)])`` for the general longest-match
+    evaluator."""
+    pats = [(r[1:], True) if r.startswith("!") else (r, False) for r in rules]
+    if all(not allow and "*" not in p and not p.endswith("$")
+           for p, allow in pats):
+        return [p for p, _ in pats], None
+    compiled = []
+    for p, allow in pats:
+        anchored = p.endswith("$")
+        core = p[:-1] if anchored else p
+        rx = "".join(".*" if c == "*" else re.escape(c) for c in core)
+        compiled.append((re.compile(rx + (r"\Z" if anchored else "")),
+                         len(p), allow))
+    return None, compiled
+
+
+def _robots_decision(compiled: list, path: str) -> bool:
+    """RFC 9309 §2.2.2 precedence over compiled rules: the longest
+    matching PATTERN wins; on a length tie Allow beats Disallow; no
+    match = allowed. Returns True when fetching is allowed."""
+    best_len, best_allow = -1, True
+    for rx, plen, allow in compiled:
+        if rx.match(path) is not None:
+            if plen > best_len or (plen == best_len and allow):
+                best_len, best_allow = plen, allow
+    return best_allow
 
 
 class ShardState:
@@ -71,7 +108,10 @@ class ShardState:
         self.default_burst = default_burst
         # host -> [tokens, last_refill_ts, rate, burst]
         self.buckets: dict[str, list[float]] = {}
-        self.robots: dict[str, list[str]] = {}  # host -> disallowed path prefixes
+        # host -> raw rule strings (robots.py encoding; snapshot form);
+        # compiled matchers are derived per host in set_robots
+        self.robots: dict[str, list[str]] = {}
+        self._robots_c: dict[str, tuple] = {}
         self.n_robots_denied = 0
         # same-site scope (M2): None = unrestricted; else offers whose
         # URL is not under any base are dropped at enqueue like robots
@@ -144,8 +184,15 @@ class ShardState:
         burst = burst if burst is not None else max(1.0, rate)
         self.buckets[host] = [burst, 0.0, rate, burst]
 
-    def set_robots(self, host: str, disallow: list[str]) -> None:
-        self.robots[host] = list(disallow)
+    def set_robots(self, host: str, rules: list[str]) -> None:
+        """``rules`` in crawl/robots.py encoding (disallow patterns,
+        ``"!"+pattern`` allows; ``*`` / trailing ``$`` wildcards). An
+        empty list clears the host (operator allow-all override)."""
+        self.robots[host] = list(rules)
+        if rules:
+            self._robots_c[host] = _compile_robots(rules)
+        else:
+            self._robots_c.pop(host, None)
 
     def set_allowed_bases(self, bases: list[str] | None) -> None:
         self.allowed_bases = list(bases) if bases is not None else None
@@ -169,12 +216,15 @@ class ShardState:
         return any(is_same_site(url, b) for b in self.allowed_bases)
 
     def _robots_allows(self, host: str, url: str) -> bool:
-        rules = self.robots.get(host)
-        if not rules:
+        entry = self._robots_c.get(host)
+        if entry is None:
             return True
         # path component only (canonical URLs: scheme://host/path...)
         path = url.split(host, 1)[-1]
-        return not any(path.startswith(p) for p in rules)
+        prefixes, compiled = entry
+        if compiled is None:  # disallow-prefix-only fast path
+            return not any(path.startswith(p) for p in prefixes)
+        return _robots_decision(compiled, path)
 
     def enqueue(self, entries: "list[dict[str, Any]] | pa.Table") -> int:
         if not isinstance(entries, pa.Table):
@@ -354,7 +404,9 @@ class ShardState:
         self.default_rate = meta["default_rate"]
         self.default_burst = meta["default_burst"]
         self.buckets = {h: list(b) for h, b in meta["buckets"].items()}
-        self.robots = {h: list(v) for h, v in meta["robots"].items()}
+        self.robots, self._robots_c = {}, {}
+        for h, v in meta["robots"].items():
+            self.set_robots(h, list(v))  # recompile wildcard matchers
         seen = snap["seen"]
         self.exact = {
             int(h): (u, f)

@@ -49,7 +49,8 @@ def test_parse_robots_groups():
     # unmatched UA falls back to the '*' group
     assert parse_robots(ROBOTS.decode(), user_agent="nobody") == ["/star-only/"]
     assert parse_robots("") == []
-    assert parse_robots("User-agent: *\nAllow: /x\nDisallow: /y") == ["/y"]
+    # Allow lines are carried with the '!' encoding, file order kept
+    assert parse_robots("User-agent: *\nAllow: /x\nDisallow: /y") == ["!/x", "/y"]
 
 
 def test_parse_robots_most_specific_wins():
@@ -204,3 +205,138 @@ def test_parse_robots_group_semantics(groups):
 def test_parse_robots_never_raises(text):
     rules = parse_robots(text)
     assert all(isinstance(r, str) and r for r in rules)
+
+
+# --------------------------------------------- Allow + wildcards (RFC §2.2.2)
+from forum_dl_ray.frontier.shard import ShardState, _compile_robots, _robots_decision
+
+
+def _allows(rules, path):
+    s = ShardState(0, capacity=64)
+    s.set_robots("h.test", rules)
+    return s._robots_allows("h.test", f"http://h.test{path}")
+
+
+def test_allow_carves_out_of_disallow():
+    rules = ["/admin/", "!/admin/public/"]
+    assert not _allows(rules, "/admin/secret")
+    assert _allows(rules, "/admin/public/page")
+    assert _allows(rules, "/other")
+    # tie between equal-length patterns -> Allow wins (RFC §2.2.2)
+    assert _allows(["/p/", "!/p/"], "/p/x")
+    # longest match wins regardless of file order
+    assert not _allows(["!/a/", "/a/b/"], "/a/b/c")
+    assert _allows(["/a/b/", "!/a/"][::-1], "/a/c")
+
+
+def test_wildcard_and_anchor_patterns():
+    assert not _allows(["/*.php"], "/index.php")
+    assert not _allows(["/*.php"], "/dir/page.php?x=1")
+    assert _allows(["/*.php$"], "/index.php?x=1")   # anchored: query breaks it
+    assert not _allows(["/*.php$"], "/index.php")
+    assert not _allows(["/thread/*/edit"], "/thread/42/edit")
+    assert _allows(["/thread/*/edit"], "/thread/42/view")
+    # '*' in an Allow carve-out
+    assert _allows(["/files/", "!/files/*.css"], "/files/site.css")
+    assert not _allows(["/files/", "!/files/*.css"], "/files/doc.pdf")
+    # plain prefixes still take the fast path (no regex compiled)
+    prefixes, compiled = _compile_robots(["/a/", "/b/"])
+    assert compiled is None and prefixes == ["/a/", "/b/"]
+    _, compiled2 = _compile_robots(["/a/", "!/a/b/"])
+    assert compiled2 is not None
+
+
+def test_robots_rules_survive_snapshot_restore():
+    s = ShardState(0, capacity=64)
+    s.set_robots("h.test", ["/admin/", "!/admin/pub*", "/tmp$"])
+    snap = s.snapshot()
+    s2 = ShardState(0, capacity=64)
+    s2.restore(snap)
+    for path, want in [("/admin/x", False), ("/admin/pub/y", True),
+                       ("/tmp", False), ("/tmpX", True)]:
+        assert s2._robots_allows("h.test", f"http://h.test{path}") is want
+
+
+def _model_match(pattern: str, path: str) -> bool:
+    """Independent char-walk matcher (no regex): does `pattern` match
+    a prefix of `path`? '*' = any run (incl. empty), trailing '$' =
+    must consume the WHOLE path."""
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    starts = {0}
+    for c in pattern:
+        nxt = set()
+        if c == "*":
+            for s0 in starts:
+                nxt.update(range(s0, len(path) + 1))
+        else:
+            for s0 in starts:
+                if s0 < len(path) and path[s0] == c:
+                    nxt.add(s0 + 1)
+        starts = nxt
+        if not starts:
+            return False
+    return (len(path) in starts) if anchored else True
+
+
+_rpat = st.from_regex(r"/[a-z0-9*$/.]{0,8}", fullmatch=True).filter(
+    lambda p: "$" not in p[:-1])
+_rrule = st.tuples(_rpat, st.booleans())
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_rrule, min_size=0, max_size=6),
+       st.from_regex(r"/[a-z0-9/.]{0,10}", fullmatch=True))
+def test_robots_precedence_model(rules, path):
+    """RFC §2.2.2 reference model: among matching rules the longest
+    pattern wins; tie -> allow; none -> allow. The shard matcher must
+    agree for every generated rule set / path."""
+    enc = [("!" + p) if allow else p for p, allow in rules]
+    matches = [(len(p), allow) for p, allow in rules if _model_match(p, path)]
+    if not matches:
+        want = True
+    else:
+        top = max(n for n, _ in matches)
+        want = any(allow for n, allow in matches if n == top)
+    prefixes, compiled = _compile_robots(enc) if enc else ([], None)
+    if compiled is None:
+        got = not any(path.startswith(p) for p in (prefixes or []))
+    else:
+        got = _robots_decision(compiled, path)
+    assert got is want
+
+
+def test_e2e_allow_carveout(ray_session, tmp_path, tmp_path_factory):
+    """A Disallow with an Allow carve-out: the carved subtree is
+    crawled, the rest of the disallowed subtree is pruned."""
+    src = generate_fixture(micro_spec())
+    fx = str(tmp_path_factory.mktemp("carve") / "fx")
+    shutil.copytree(src, fx)
+    pages = os.path.join(fx, "pages.parquet")
+    t = pq.read_table(pages)
+    host = sorted(set(t["host"].to_pylist()))[0]
+    # find a real thread subtree to carve back in
+    threads = sorted(u for u in t["url"].to_pylist()
+                     if u.startswith(f"http://{host}/thread/"))
+    assert threads
+    carve = threads[0].split(host, 1)[1]  # e.g. /thread/t0
+    body = (f"User-agent: *\nDisallow: /thread/\n"
+            f"Allow: {carve}\n").encode()
+    extra = pa.table({
+        "url": [f"http://{host}/robots.txt"], "host": [host],
+        "kind": ["page"], "engine": ["html-generic"], "body": [body],
+        "content_type": ["text/plain"], "status": [200], "next_url": [""],
+    }).cast(t.schema)
+    pq.write_table(pa.concat_tables([t, extra]), pages)
+
+    out = str(tmp_path / "carve_out")
+    Crawler(fx, out, CrawlConfig(num_shards=2, target_tasks=2)).run()
+    df = ordered_items(out).to_pandas()
+    origins = df["origin"].tolist()
+    pref = f"http://{host}/thread/"
+    carved_pref = f"http://{host}{carve}"
+    # carved thread WAS crawled; its sibling threads were not
+    assert any(o.startswith(carved_pref) for o in origins)
+    assert not any(o.startswith(pref) and not o.startswith(carved_pref)
+                   for o in origins)
