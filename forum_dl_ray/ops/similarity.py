@@ -154,7 +154,8 @@ def kmeans_centroids(mat: np.ndarray, n_clusters: int, iters: int = 8, seed: int
 _IVF_CACHE_ROOT = "/tmp/fdr_ivf"
 
 
-def _ivf_digest(src: str, n_clusters: int, seed: int) -> str:
+def _ivf_digest(src: str, n_clusters: int, seed: int,
+                compact_files: bool = False) -> str:
     """Content address for an index: source parquet file-level
     metadata (names, sizes, row counts) + build params. Metadata-only —
     no data read."""
@@ -165,7 +166,7 @@ def _ivf_digest(src: str, n_clusters: int, seed: int) -> str:
     h = hashlib.blake2b(digest_size=12)
     # v2: data files carry the bucket id as a `bkt` column (one-call
     # probed reads) — version the digest so v1 cached indexes rebuild
-    h.update(f"{n_clusters}|{seed}|v2|".encode())
+    h.update(f"{n_clusters}|{seed}|v2|{int(compact_files)}|".encode())
     files = ([os.path.join(r, f) for r, _, fs in os.walk(src)
               for f in sorted(fs) if f.endswith(".parquet")]
              if os.path.isdir(src) else [src])
@@ -175,36 +176,48 @@ def _ivf_digest(src: str, n_clusters: int, seed: int) -> str:
     return h.hexdigest()
 
 
+def _ivf_complete(index_dir: str, digest: str) -> bool:
+    done = os.path.join(index_dir, "_DONE")
+    meta_path = os.path.join(index_dir, "meta.json")
+    if not (os.path.exists(done) and os.path.exists(meta_path)):
+        return False
+    import json
+
+    with open(meta_path) as f:
+        return json.load(f).get("digest") == digest
+
+
 def ivf_build(sf_dir: str, index_dir: str | None = None,
-              n_clusters: int = 16, seed: int = 42) -> str:
+              n_clusters: int = 16, seed: int = 42,
+              compact_files: bool = False) -> str:
     """Build (or reuse) the persisted IVF index for the embeddings
     table: centroids fit on a streamed sample, ONE distributed
     assignment pass, corpus written as ``bucket=K/`` partitioned
     parquet. Returns the index directory.
 
-    Scale shape: the partitioned write is shuffle-free (each block
-    splits into its buckets locally — at 10^9 rows this yields
-    blocks×nonempty-buckets files; co-locate with a bucket-keyed
-    repartition first if file count matters more than one pass).
-    The build is content-addressed and atomic (_DONE last), so query
-    sets against an unchanged corpus reuse it for free."""
+    Scale shape: the default partitioned write is shuffle-free (each
+    block splits into its buckets locally — at 10^9 rows this yields
+    blocks×nonempty-buckets files). ``compact_files=True`` (r4 verdict
+    Next #10) trades ONE bucket-keyed shuffle for one-file-per-bucket
+    output, for file-count-sensitive deploys (object stores that bill
+    per request, metadata-bound HDFS namenodes).
+
+    The build is content-addressed; publication is ATOMIC by building
+    into a sibling temp dir and renaming into place (r4 advice #3) —
+    a completed index directory is never deleted out from under a
+    concurrent reader that already passed the _DONE check, and the
+    loser of a concurrent-build race discards its own temp dir."""
     src = os.path.join(sf_dir, "embeddings.parquet")
-    digest = _ivf_digest(src, n_clusters, seed)
+    digest = _ivf_digest(src, n_clusters, seed, compact_files)
     if index_dir is None:
         index_dir = os.path.join(_IVF_CACHE_ROOT, digest)
-    done = os.path.join(index_dir, "_DONE")
-    meta_path = os.path.join(index_dir, "meta.json")
-    if os.path.exists(done) and os.path.exists(meta_path):
-        import json
-
-        with open(meta_path) as f:
-            if json.load(f).get("digest") == digest:
-                return index_dir
+    if _ivf_complete(index_dir, digest):
+        return index_dir
     import json
     import shutil
 
-    shutil.rmtree(index_dir, ignore_errors=True)
-    os.makedirs(index_dir, exist_ok=True)
+    build_dir = f"{index_dir}.build-{os.getpid()}-{os.urandom(4).hex()}"
+    os.makedirs(build_dir, exist_ok=True)
 
     cent = kmeans_centroids(_sample_matrix(sf_dir), n_clusters, seed=seed)
     cent_ref = ray.put(cent)
@@ -222,17 +235,36 @@ def ivf_build(sf_dir: str, index_dir: str | None = None,
 
     import pyarrow.fs as pafs
 
-    (_read_emb(sf_dir)
-     .map_batches(assign, batch_format="pyarrow", runtime_env=_RENV,
-                  batch_size=4096)
-     .write_parquet(index_dir, partition_cols=["bucket"],
-                    filesystem=pafs.LocalFileSystem()))
-    np.save(os.path.join(index_dir, "centroids.npy"), cent)
-    with open(meta_path, "w") as f:
+    assigned = _read_emb(sf_dir).map_batches(
+        assign, batch_format="pyarrow", runtime_env=_RENV, batch_size=4096)
+    if compact_files:
+        # bucket-keyed co-location: one group task per bucket → one
+        # block → one file per bucket dir (the explicit shuffle)
+        assigned = assigned.groupby("bucket").map_groups(
+            lambda g: g, batch_format="pandas", runtime_env=_RENV)
+    assigned.write_parquet(build_dir, partition_cols=["bucket"],
+                           filesystem=pafs.LocalFileSystem())
+    np.save(os.path.join(build_dir, "centroids.npy"), cent)
+    with open(os.path.join(build_dir, "meta.json"), "w") as f:
         json.dump({"digest": digest, "n_clusters": n_clusters, "seed": seed,
+                   "compact_files": compact_files,
                    "source": os.path.abspath(src)}, f)
-    with open(done, "w") as f:
+    with open(os.path.join(build_dir, "_DONE"), "w") as f:
         f.write("ok")
+
+    # atomic publish: rename wins or a concurrent winner already did
+    try:
+        if os.path.exists(index_dir):
+            if _ivf_complete(index_dir, digest):  # racer finished first
+                shutil.rmtree(build_dir, ignore_errors=True)
+                return index_dir
+            shutil.rmtree(index_dir)  # stale incomplete leftover
+        os.rename(build_dir, index_dir)
+    except OSError:
+        if _ivf_complete(index_dir, digest):
+            shutil.rmtree(build_dir, ignore_errors=True)
+            return index_dir
+        raise
     return index_dir
 
 

@@ -100,6 +100,10 @@ def _chunk_rows(flat: np.ndarray, n_chunks: int) -> pa.Table:
     """Sketch array → (chunk, blob) rows: the unit of the distributed
     tree-reduce (``groupby(chunk).map_groups``). Chunks are contiguous
     equal slices so the merge kernel is one np.stack + axis-reduce."""
+    # a non-dividing width would silently DROP the array tail (latent
+    # data corruption if _P / chunk constants ever change — r4 advice)
+    assert len(flat) % n_chunks == 0, \
+        f"sketch length {len(flat)} not divisible by {n_chunks} chunks"
     step = len(flat) // n_chunks
     return pa.table({
         "chunk": pa.array(np.arange(n_chunks), pa.int64()),

@@ -144,3 +144,42 @@ def test_ivf_index_persisted_and_query_scans_probed_buckets_only(
     # reader skips every non-probed bucket
     ds = similarity._read_probed_buckets(idx, probe.ravel().tolist())
     assert ds.count() == probed_rows
+
+
+def test_ivf_compact_files_and_atomic_publish(ray_session, tmp_path):
+    """r4 verdict Next #10 + advice #3: compact_files co-locates each
+    bucket into one file; builds publish via temp-dir + rename, so a
+    completed index is never deleted while readable and stale partial
+    build dirs never shadow the real one."""
+    import shutil
+
+    from forum_dl_ray.ops import similarity
+
+    idx = str(tmp_path / "ivf_compact")
+    similarity.ivf_build(SF_DIR, idx, n_clusters=8, compact_files=True)
+    for name in os.listdir(idx):
+        if name.startswith("bucket="):
+            files = [f for f in os.listdir(os.path.join(idx, name))
+                     if f.endswith(".parquet")]
+            assert len(files) == 1, (name, files)
+    # compact layout serves the same answers as the default layout
+    a = similarity.ivf_topk(SF_DIR, [0, 1], k=5, n_clusters=8, nprobe=8,
+                            index_dir=idx)
+    b = similarity.ivf_topk(SF_DIR, [0, 1], k=5, n_clusters=8, nprobe=8,
+                            index_dir=str(tmp_path / "ivf_default"))
+    assert a.to_dict() == b.to_dict()
+
+    # atomic publish: an incomplete leftover dir (no _DONE) is replaced;
+    # a COMPLETE one is reused without ever being deleted
+    stale = str(tmp_path / "ivf_stale")
+    os.makedirs(stale)
+    open(os.path.join(stale, "junk.parquet"), "w").write("not parquet")
+    similarity.ivf_build(SF_DIR, stale, n_clusters=8)
+    assert os.path.exists(os.path.join(stale, "_DONE"))
+    assert not os.path.exists(os.path.join(stale, "junk.parquet"))
+    ino = os.stat(stale).st_ino
+    similarity.ivf_build(SF_DIR, stale, n_clusters=8)  # reuse, no rebuild
+    assert os.stat(stale).st_ino == ino
+    # no orphaned .build-* temp dirs remain
+    parent = os.path.dirname(stale)
+    assert not [n for n in os.listdir(parent) if ".build-" in n]

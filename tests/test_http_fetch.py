@@ -156,10 +156,11 @@ def test_http_redirects_followed(gateway):
     # 301 absolute → 302 relative Location → 200, followed transparently
     status, body, ctype = s.fetch("http://special.test/redirect-chain")
     assert (status, body) == (200, b"you made it")
-    # a redirect loop terminates at max_redirects with the 3xx status
-    # (lands in the failed set, never spins)
+    # a redirect loop terminates at max_redirects with the DISTINCT
+    # 310 "too many redirects" status (r4 advice #4) — non-retryable
+    # (<500: lands in the failed set), diagnosable as a loop
     status, body, _ = s.fetch("http://special.test/redirect-loop")
-    assert status == 302 and body == b""
+    assert status == 310 and body == b""
 
 
 def test_http_gzip_inflated(gateway):
@@ -212,3 +213,141 @@ def test_http_crawl_matches_golden(ray_session, gateway, fixture_dir, tmp_path):
 
     # the configured User-Agent actually went over the wire
     assert seen_agents and all(a == UA for a in seen_agents)
+
+
+# ----------------------------------------------------- HTTPS (r4 Next #7)
+@pytest.fixture(scope="module")
+def tls_gateway(tmp_path_factory):
+    """Self-signed localhost TLS server: proves the HTTPSConnection
+    branch of HttpPageStore._conn actually works (it was uncovered
+    code until the first real https:// seed — r4 What's-missing #5)."""
+    import datetime
+    import ssl
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    d = tmp_path_factory.mktemp("tls")
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, "127.0.0.1")])
+    import ipaddress
+
+    not_before = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name).issuer_name(name).public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(not_before)
+        .not_valid_after(not_before + datetime.timedelta(days=3650))
+        .add_extension(x509.SubjectAlternativeName(
+            [x509.IPAddress(ipaddress.ip_address("127.0.0.1"))]), critical=False)
+        .sign(key, hashes.SHA256())
+    )
+    certfile = str(d / "cert.pem")
+    keyfile = str(d / "key.pem")
+    with open(certfile, "wb") as f:
+        f.write(cert.public_bytes(serialization.Encoding.PEM))
+    with open(keyfile, "wb") as f:
+        f.write(key.private_bytes(
+            serialization.Encoding.PEM, serialization.PrivateFormat.TraditionalOpenSSL,
+            serialization.NoEncryption()))
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"  # keep-alive over TLS
+
+        def do_GET(self):  # noqa: N802
+            if self.path == "/redirect":
+                self.send_response(302)
+                self.send_header("Location", "/final")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            if self.path == "/final":
+                body = b"secure hello"
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            self.send_response(404)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    sctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    sctx.load_cert_chain(certfile, keyfile)
+    srv.socket = sctx.wrap_socket(srv.socket, server_side=True)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"https://127.0.0.1:{srv.server_address[1]}", certfile
+    srv.shutdown()
+
+
+def test_https_fetch_redirect_keepalive(tls_gateway):
+    import ssl
+
+    base, cafile = tls_gateway
+    cctx = ssl.create_default_context(cafile=cafile)
+    # gateway="" = direct-fetch mode; the https scheme picks the
+    # HTTPSConnection branch, verified against the test CA
+    s = HttpPageStore("", timeout_s=5.0, user_agent=UA, ssl_context=cctx)
+    status, body, ctype = s.fetch(f"{base}/final")
+    assert (status, body) == (200, b"secure hello")
+    # redirect followed over TLS
+    status, body, _ = s.fetch(f"{base}/redirect")
+    assert (status, body) == (200, b"secure hello")
+    assert s.fetch(f"{base}/nope")[0] == 404
+    # keep-alive: the pooled TLS connection is reused
+    before = s.n_reused
+    for _ in range(5):
+        assert s.fetch(f"{base}/final")[0] == 200
+    assert s.n_reused >= before + 5
+    assert len(s._conns) == 1
+
+
+def test_https_untrusted_cert_is_transient_failure(tls_gateway):
+    base, _ = tls_gateway
+    # the DEFAULT context must reject the self-signed cert: surfaces
+    # as the transient 503 (retry loop), never an exception
+    s = HttpPageStore("", timeout_s=2.0, user_agent=UA)
+    assert s.fetch(f"{base}/final")[0] == 503
+
+
+def test_conn_pool_lru_eviction(gateway):
+    """The keep-alive pool is LRU-capped: a multi-host crawl can't
+    accumulate unbounded open sockets per worker (r4 advice #2)."""
+    base, _ = gateway
+    s = HttpPageStore(base, timeout_s=5.0, user_agent=UA, max_conns=2)
+
+    closed = []
+
+    class FakeConn:
+        def __init__(self, name):
+            self.name = name
+
+        def close(self):
+            closed.append(self.name)
+
+    # pre-seat two idle pooled conns, then a real fetch adds a third:
+    # the oldest is evicted AND closed
+    s._conns[("http", "old.test", 80)] = FakeConn("old")
+    s._conns[("http", "mid.test", 80)] = FakeConn("mid")
+    assert s.fetch("http://special.test/final")[0] == 200
+    assert len(s._conns) == 2
+    assert closed == ["old"] and s.n_evicted == 1
+    # reuse refreshes recency: touching "mid" saves it from the next
+    # eviction (the gateway conn, now oldest, is closed instead)
+    s._conns.move_to_end(("http", "mid.test", 80), last=False)  # make mid oldest
+    got = s._conn("http", "mid.test", 80)
+    assert got.name == "mid" and s.n_reused >= 1
+    s._conn("http", "new.test", 80)  # lazy HTTPConnection: no socket yet
+    assert len(s._conns) == 2
+    assert ("http", "mid.test", 80) in s._conns  # recency saved it
+    assert ("http", "new.test", 80) in s._conns
+    assert s.n_evicted == 2
