@@ -391,3 +391,95 @@ def test_hostile_nested_quotes_roundtrip():
     assert content.count("<blockquote") == 2
     assert content.count("</blockquote>") == 2
     assert "outer quote" in content and "carol wrote:" in content
+
+
+# ------------------------------------------- full-page real-skin fixtures
+# r4 verdict Next #8: complete documents (doctype, head, inline JS with
+# `<`/`&&`, nav, breadcrumbs, forms, pagination, footers) in the shape
+# phpBB 3.3 prosilver / XenForo 2.2 / SMF 2.1 actually serve — the
+# kernels must find the posts amid ~10 KB of page chrome, not in a bare
+# snippet. Markup is hand-written to the public templates' structure
+# (class names / nesting are facts of the public software); every post,
+# author and date is invented.
+_REALPAGES = os.path.join(os.path.dirname(__file__), "fixtures_realpages")
+
+
+def _realpage(name: str) -> str:
+    with open(os.path.join(_REALPAGES, name), encoding="utf-8") as f:
+        return f.read()
+
+
+@pytest.mark.parametrize(
+    "fname,dialect,expected",
+    [
+        ("phpbb_viewtopic.html", "phpbb", [
+            ("p101", "mallard", "2023-05-04T09:12:00+00:00",
+             "This week's build is up"),
+            ("p102", "teal", "2023-05-04T12:30:00+00:00",
+             "the installer works now"),
+            ("p103", "mallard", "2023-05-05T07:45:10+00:00",
+             "Mirrors updated"),
+        ]),
+        ("xenforo_thread.html", "xenforo", [
+            ("p4411", "quartz", "2022-01-15T08:00:12+0000",
+             "New build is live"),
+            ("p4412", "fern", "2022-01-15T09:22:47+0000",
+             "Works great on my machine"),
+        ]),
+        ("smf_topic.html", "smf", [
+            ("p9901", "heron", "2021-03-10T14:05:33",
+             "New build posted"),
+            ("p9907", "wren", "2021-03-11T08:40:02",
+             "Confirmed working on my end"),
+        ]),
+    ],
+    ids=["phpbb", "xenforo", "smf"],
+)
+def test_full_realpage_extraction(fname, dialect, expected):
+    page = _realpage(fname)
+    kernel = html_dom.DIALECT_KERNELS_DOM[dialect]
+    posts = list(kernel(parse_dom(page)))
+    assert [(p[0], p[1], p[2]) for p in posts] == \
+        [(pid, a, t) for pid, a, t, _frag in expected]
+    for post, (_pid, _a, _t, frag) in zip(posts, expected):
+        assert frag in post[4], (fname, post[0])
+    # full-page chrome (jumpbox selects, quickreply forms, quick-mod
+    # divs, footers) must never leak extra "posts"
+    assert len(posts) == len(expected)
+
+
+@pytest.mark.parametrize(
+    "fname", ["phpbb_viewtopic.html", "xenforo_thread.html", "smf_topic.html"])
+def test_full_realpage_classifies_as_thread(fname):
+    # no synthetic <meta name="dialect"> hint anywhere: classification
+    # falls through the dialect kernels and still lands on "thread"
+    assert html_dom.classify_page_dom(_realpage(fname)) == "thread"
+
+
+@pytest.mark.parametrize(
+    "fname,dialect",
+    [("phpbb_viewtopic.html", "phpbb"), ("xenforo_thread.html", "xenforo"),
+     ("smf_topic.html", "smf")],
+    ids=["phpbb", "xenforo", "smf"],
+)
+def test_full_realpage_shuffle_invariant(fname, dialect):
+    page = _realpage(fname)
+    kernel = html_dom.DIALECT_KERNELS_DOM[dialect]
+    ref = [(p[0], p[1], p[2]) for p in kernel(parse_dom(page))]
+    got = [(p[0], p[1], p[2]) for p in kernel(parse_dom(shuffle_attributes(page)))]
+    assert got == ref and ref
+
+
+def test_realpage_quote_structure_roundtrip():
+    # nested quote markup inside post bodies comes back byte-exact
+    # (inner_html is a raw substring of the page)
+    page = _realpage("xenforo_thread.html")
+    posts = list(html_dom.DIALECT_KERNELS_DOM["xenforo"](parse_dom(page)))
+    content = posts[1][4]
+    assert content.count("<blockquote") == 1
+    assert 'data-source="post: 4411"' in content
+    assert "quartz said:" in content
+    # and the phpBB inline image attachment survives with its attrs
+    page = _realpage("phpbb_viewtopic.html")
+    posts = list(html_dom.DIALECT_KERNELS_DOM["phpbb"](parse_dom(page)))
+    assert '<img class="postimage" src="./download/file.php?id=33"' in posts[1][4]
