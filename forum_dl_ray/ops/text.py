@@ -61,36 +61,63 @@ def token_counts(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(f, batch_format="pyarrow", runtime_env=_RENV, batch_size=8192)
 
 
+def _text_stats_kernel(batch: pa.Table) -> pa.Table:
+    # Arrow-split + segment arithmetic, no per-doc Python loop.
+    # utf8_split_whitespace, unlike str.split(), emits EMPTY tokens
+    # at boundaries ("" -> [""], " x " -> ["","x",""]) — every
+    # stat below masks zero-length tokens to keep str.split parity
+    # (the text_stats DuckDB oracle pins it).
+    n = len(batch)
+    n_chars = pc.utf8_length(batch["text"])
+    toks = pc.utf8_split_whitespace(batch["text"])
+    la = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    raw_counts = pc.list_value_length(la).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(la)
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    seg = np.repeat(np.arange(n, dtype=np.int64), raw_counts)
+    nonz = lens > 0
+    n_tok = np.bincount(seg[nonz], minlength=n).astype(np.int64)
+    if len(flat):
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(raw_counts, out=offsets[1:])
+        starts = np.minimum(offsets[:-1], len(flat) - 1)
+        # empty tokens have len 0, so the raw-segment max already
+        # equals max(str.split() lens, default=0)
+        max_len = np.maximum.reduceat(lens, starts) * (raw_counts > 0)
+        # distinct non-empty tokens per doc: dictionary-encode the
+        # flat token array (one C++ hash pass), then count unique
+        # (doc, code) pairs via a packed-key sort
+        codes = pc.dictionary_encode(flat).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        key = (seg << np.int64(32)) | codes
+        uniq = np.unique(key[nonz])
+        n_uniq = np.bincount(uniq >> np.int64(32), minlength=n).astype(np.int64)
+    else:
+        max_len = np.zeros(n, dtype=np.int64)
+        n_uniq = np.zeros(n, dtype=np.int64)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars_m": pc.cast(n_chars, pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_uniq_tokens": pa.array(n_uniq, pa.int64()),
+            "max_token_len": pa.array(max_len, pa.int64()),
+        }
+    )
+
+
 def text_stats(sf_dir: str) -> rd.Dataset:
     """Quality-scoring stats: chars, tokens, distinct tokens, max token
     length — integers only (oracle-hash robust)."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
-
-    def f(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        n_chars = pc.utf8_length(batch["text"])
-        n_tok, n_uniq, max_len = [], [], []
-        for t in texts:
-            toks = t.split()
-            n_tok.append(len(toks))
-            n_uniq.append(len(set(toks)))
-            max_len.append(max((len(w) for w in toks), default=0))
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "n_chars_m": pc.cast(n_chars, pa.int64()),
-                "n_tokens": pa.array(n_tok, pa.int64()),
-                "n_uniq_tokens": pa.array(n_uniq, pa.int64()),
-                "max_token_len": pa.array(max_len, pa.int64()),
-            }
-        )
-
-    return ds.map_batches(f, batch_format="pyarrow", runtime_env=_RENV, batch_size=8192)
+    return ds.map_batches(_text_stats_kernel, batch_format="pyarrow",
+                          runtime_env=_RENV, batch_size=8192)
 
 
 class LangId:
-    """Stopword-profile language scorer (stateful stage: profiles and
-    regex compiled once per actor). Returns the argmax profile plus a
+    """Stopword-profile language scorer (stateful stage: profile
+    value-sets built once per actor). Returns the argmax profile plus a
     deterministic tie-break; a real model slots in behind the same
     batch signature."""
 
@@ -99,27 +126,33 @@ class LangId:
         # ASCII \w, NOT Python's Unicode \w: the DuckDB/RE2 oracle's
         # \w is ASCII-only, so the kernels must agree on non-ASCII text
         # (Unicode \w would let the zh profile match only on the Ray side)
-        self.word = re.compile(r"[A-Za-z0-9_]+")
         self.langs = sorted(self.profiles)
-        self.profile_arrays = {
-            k: np.array(sorted(v), dtype=object) for k, v in _LANG_PROFILES.items()
+        self.profile_sets = {
+            k: pa.array(sorted(v), pa.string()) for k, v in _LANG_PROFILES.items()
         }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        """Vectorized: flatten all docs' tokens into one array, score
-        every language with np.isin + per-doc segment sums, then
-        argmax with first-wins tie-break over the sorted language
-        order (exactly the scalar kernel's semantics — the lang_id
-        DuckDB oracle pins them)."""
-        texts = batch["text"].to_pylist()
-        n = len(texts)
-        tok_lists = [self.word.findall(t.lower()) for t in texts]
-        counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        """Vectorized end to end: Arrow utf8_lower + regex split (the
+        [^A-Za-z0-9_]+ complement of the ASCII-\\w token runs, so the
+        token stream matches re.findall exactly, plus inert empty
+        strings at boundaries that can never hit a profile — and
+        utf8_lower is the utf8proc SIMPLE case mapping, i.e. exactly
+        DuckDB lower(): 'İa' -> 'ia' on both sides, where Python
+        str.lower()'s FULL mapping would emit 'i'+U+0307 and split the
+        token run differently from the oracle), one C++
+        is_in pass per language over the flat token array, per-doc
+        segment sums, then argmax with first-wins tie-break over the
+        sorted language order (exactly the scalar kernel's semantics —
+        the lang_id DuckDB oracle pins them). No per-doc Python."""
+        n = len(batch)
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch["text"]), pattern=r"[^A-Za-z0-9_]+")
+        la = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        counts = pc.list_value_length(la).to_numpy(
+            zero_copy_only=False).astype(np.int64)
         offsets = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(counts, out=offsets[1:])
-        flat = np.asarray(
-            [w for toks in tok_lists for w in toks], dtype=object
-        )
+        flat = pc.list_flatten(la)
         score_mat = np.zeros((n, len(self.langs)), dtype=np.int64)
         if len(flat):
             # reduceat quirk: an empty segment returns the next element
@@ -127,7 +160,8 @@ class LangId:
             starts = np.minimum(offsets[:-1], len(flat) - 1)
             nonempty = counts > 0
             for li, lang in enumerate(self.langs):
-                hit = np.isin(flat, self.profile_arrays[lang])
+                hit = pc.is_in(flat, value_set=self.profile_sets[lang]).to_numpy(
+                    zero_copy_only=False)
                 score_mat[:, li] = np.add.reduceat(hit, starts) * nonempty
         best = score_mat.max(axis=1)
         # first-wins argmax over sorted langs; score 0 -> "und"
