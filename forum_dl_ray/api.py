@@ -173,7 +173,8 @@ def download(
         http_gateway=opts.http_gateway,
     )
     crawl_dir = os.path.join(out_dir, "crawl")
-    stats = Crawler(pages_source, crawl_dir, cfg, seeds=seeds).run()
+    crawler = Crawler(pages_source, crawl_dir, cfg, seeds=seeds)
+    stats = crawler.run()
 
     if opts.warc_output:
         # S5 capture to a caller-chosen path: real ISO-28500 .warc.gz
@@ -184,12 +185,17 @@ def download(
 
         lineage = entries_dataset(crawl_dir).filter(expr="type == 'lineage'")
         lineage.write_parquet(os.path.join(opts.warc_output, "lineage"))
-        if opts.http_gateway is not None:
-            pages = ("http", opts.http_gateway, opts.timeout, opts.user_agent)
-        else:
-            from .crawl.fetch import put_store
+        # reuse the crawl's broadcast store ref — re-reading the pages
+        # parquet and ray.put-ting a SECOND full copy doubled the
+        # object-store footprint for nothing (r5 review)
+        pages = getattr(crawler, "store_ref", None)
+        if pages is None:  # pragma: no cover — run() always sets it
+            if opts.http_gateway is not None:
+                pages = ("http", opts.http_gateway, opts.timeout, opts.user_agent)
+            else:
+                from .crawl.fetch import put_store
 
-            pages = put_store(os.path.join(pages_source, "pages.parquet"))
+                pages = put_store(os.path.join(pages_source, "pages.parquet"))
         records_dir = os.path.join(opts.warc_output, "records")
         manifest = warc_export(
             crawl_dir, pages, records_dir,

@@ -181,6 +181,11 @@ class Crawler:
             store_ref = ("http", cfg.http_gateway, cfg.timeout_s, cfg.user_agent)
         else:
             store_ref = put_store(self.pages_path)
+        # exposed so post-crawl consumers (api.py's WARC export) reuse
+        # the SAME broadcast table instead of re-reading + re-putting a
+        # second full copy of the page store (CLAUDE.md: broadcast,
+        # don't rebuild)
+        self.store_ref = store_ref
         fetch = functools.partial(
             fetch_batch, pages_path=store_ref, frontier=frontier,
             flaky_rate=cfg.flaky_rate, retries=cfg.retries,

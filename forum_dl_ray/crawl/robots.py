@@ -64,6 +64,13 @@ def parse_robots(text: str, user_agent: str = "forum-dl-ray") -> list[str]:
             agents.append(value.lower())
         else:
             group_open = False
+            # a robots path must start with '/' or '*' (RFC 9309
+            # §2.2.2); anything else is malformed AND, for Disallow,
+            # would be INJECTABLE into the internal "!"-prefix Allow
+            # encoding ("Disallow: !/x" must not decode as an Allow
+            # carve-out that weakens a legitimate Disallow) — drop it
+            if not value.startswith(("/", "*")):
+                continue
             if field == "disallow" and value and agents:
                 rules.append(value)
             elif field == "allow" and value and agents:

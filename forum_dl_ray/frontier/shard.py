@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import heapq
 import json
-import re
 from typing import Any
 
 import numpy as np
@@ -48,8 +47,13 @@ def _compile_robots(rules: list[str]):
     Returns ``(prefixes, None)`` for the fast path — all rules are
     plain disallow prefixes, where any-prefix-match ≡ RFC longest-match
     because every matching rule votes disallow — else ``(None,
-    [(regex, pattern_len, allow)])`` for the general longest-match
-    evaluator."""
+    [(segments, anchored, pattern_len, allow)])`` for the general
+    longest-match evaluator. Wildcards are matched by the greedy
+    segment algorithm in :func:`_wild_match`, NOT a compiled regex: a
+    chain of ``.*`` groups backtracks catastrophically on star-heavy
+    patterns (a crafted ``/*a*a*a*...$`` robots.txt line would hang
+    the shard actor on every offer), while greedy find is linear and
+    complete for the * / $ language (no other metachars exist)."""
     pats = [(r[1:], True) if r.startswith("!") else (r, False) for r in rules]
     if all(not allow and "*" not in p and not p.endswith("$")
            for p, allow in pats):
@@ -58,10 +62,31 @@ def _compile_robots(rules: list[str]):
     for p, allow in pats:
         anchored = p.endswith("$")
         core = p[:-1] if anchored else p
-        rx = "".join(".*" if c == "*" else re.escape(c) for c in core)
-        compiled.append((re.compile(rx + (r"\Z" if anchored else "")),
-                         len(p), allow))
+        compiled.append((core.split("*"), anchored, len(p), allow))
     return None, compiled
+
+
+def _wild_match(segs: list[str], anchored: bool, path: str) -> bool:
+    """Linear-time match of a robots pattern split on ``*`` against
+    ``path``. First segment anchors at the start; middle segments are
+    placed greedily left-to-right (complete for pure-wildcard
+    patterns); the last segment anchors at the end when the pattern
+    ended in ``$``."""
+    first = segs[0]
+    if not path.startswith(first):
+        return False
+    if len(segs) == 1:
+        return path == first if anchored else True
+    pos = len(first)
+    for seg in segs[1:-1]:
+        i = path.find(seg, pos)
+        if i < 0:
+            return False
+        pos = i + len(seg)
+    last = segs[-1]
+    if anchored:
+        return len(path) - len(last) >= pos and path.endswith(last)
+    return path.find(last, pos) >= 0
 
 
 def _robots_decision(compiled: list, path: str) -> bool:
@@ -69,8 +94,8 @@ def _robots_decision(compiled: list, path: str) -> bool:
     matching PATTERN wins; on a length tie Allow beats Disallow; no
     match = allowed. Returns True when fetching is allowed."""
     best_len, best_allow = -1, True
-    for rx, plen, allow in compiled:
-        if rx.match(path) is not None:
+    for segs, anchored, plen, allow in compiled:
+        if _wild_match(segs, anchored, path):
             if plen > best_len or (plen == best_len and allow):
                 best_len, best_allow = plen, allow
     return best_allow

@@ -181,7 +181,11 @@ def minhash_bands(sf_dir: str, num_perm: int = 64, bands: int = 16, shingle: int
         # Band hashes are internal (pairs are exactly verified
         # downstream); the gate for this swap is the exact-Jaccard
         # pair oracles staying green.
-        chunks = sigs.reshape(n * bands, rows_per_band)
+        # only the first bands*rows_per_band perms participate when
+        # bands does not divide num_perm (the pre-vectorization
+        # per-band slicing semantics; without the slice the reshape
+        # raises on e.g. num_perm=64, bands=12)
+        chunks = sigs[:, :bands * rows_per_band].reshape(n * bands, rows_per_band)
         bh = _fold_rows_u64(chunks).view(np.int64)
         return pa.table(
             {

@@ -154,19 +154,22 @@ def kmeans_centroids(mat: np.ndarray, n_clusters: int, iters: int = 8, seed: int
 _IVF_CACHE_ROOT = "/tmp/fdr_ivf"
 
 
-def _ivf_digest(src: str, n_clusters: int, seed: int,
-                compact_files: bool = False) -> str:
+def _ivf_digest(src: str, n_clusters: int, seed: int) -> str:
     """Content address for an index: source parquet file-level
     metadata (names, sizes, row counts) + build params. Metadata-only —
-    no data read."""
+    no data read. ``compact_files`` is deliberately NOT part of the
+    identity: it changes the file LAYOUT, not the index content, and
+    folding it in made ivf_topk (which cannot pass the flag) treat a
+    complete compact index as stale and rmtree+rebuild it."""
     import hashlib
 
     import pyarrow.parquet as pq
 
     h = hashlib.blake2b(digest_size=12)
     # v2: data files carry the bucket id as a `bkt` column (one-call
-    # probed reads) — version the digest so v1 cached indexes rebuild
-    h.update(f"{n_clusters}|{seed}|v2|{int(compact_files)}|".encode())
+    # probed reads) — version the digest so v1 cached indexes rebuild.
+    # v3: layout flag removed from the identity (see above).
+    h.update(f"{n_clusters}|{seed}|v3|".encode())
     files = ([os.path.join(r, f) for r, _, fs in os.walk(src)
               for f in sorted(fs) if f.endswith(".parquet")]
              if os.path.isdir(src) else [src])
@@ -200,7 +203,11 @@ def ivf_build(sf_dir: str, index_dir: str | None = None,
     blocks×nonempty-buckets files). ``compact_files=True`` (r4 verdict
     Next #10) trades ONE bucket-keyed shuffle for one-file-per-bucket
     output, for file-count-sensitive deploys (object stores that bill
-    per request, metadata-bound HDFS namenodes).
+    per request, metadata-bound HDFS namenodes). The flag is a LAYOUT
+    choice, not part of the index identity: a complete index for the
+    same content+params is reused as-is whichever layout it was built
+    with (so queries never tear down a compact index; to re-layout,
+    build into a fresh index_dir).
 
     The build is content-addressed; publication is ATOMIC by building
     into a sibling temp dir and renaming into place (r4 advice #3) —
@@ -208,7 +215,7 @@ def ivf_build(sf_dir: str, index_dir: str | None = None,
     concurrent reader that already passed the _DONE check, and the
     loser of a concurrent-build race discards its own temp dir."""
     src = os.path.join(sf_dir, "embeddings.parquet")
-    digest = _ivf_digest(src, n_clusters, seed, compact_files)
+    digest = _ivf_digest(src, n_clusters, seed)
     if index_dir is None:
         index_dir = os.path.join(_IVF_CACHE_ROOT, digest)
     if _ivf_complete(index_dir, digest):

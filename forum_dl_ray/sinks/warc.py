@@ -193,7 +193,12 @@ def _write_warc_shard(g: pd.DataFrame, *, out_dir: str, pages,
     from ..crawl.fetch import HttpPageStore, get_store
 
     shard = int(g["shard"].iloc[0])
-    g = g.sort_values(["order_key", "url"], kind="mergesort")
+    # `data` tiebreaker: a fetch's status row and a parse-error row
+    # share (order_key, url), and a stable sort would leave their
+    # relative order to post-shuffle block arrival — nondeterministic
+    # shard bytes (r5 review). data is the JSON payload, distinct and
+    # deterministic per row.
+    g = g.sort_values(["order_key", "url", "data"], kind="mergesort")
     store = get_store(pages)
     urls = g["url"].tolist()
     rows = store.lookup(urls) if not isinstance(store, HttpPageStore) else None
@@ -249,7 +254,6 @@ def warc_export(crawl_dir: str, pages, out_dir: str, *, n_shards: int = 4,
     ref (put_store), a parquet path, or an ``("http", ...)`` spec.
     Returns the manifest (shard, n_responses, n_metadata, file_bytes)
     — O(n_shards) rows, driver-small."""
-    from ..crawl.crawler import entries_dataset
     from ..ops._md5v import md5_low64
 
     date_iso = download_time.replace("+00:00", "Z")
@@ -265,16 +269,24 @@ def warc_export(crawl_dir: str, pages, out_dir: str, *, n_shards: int = 4,
         return pd.DataFrame(rows)
 
     def assign(batch: pa.Table) -> pa.Table:
+        # project HERE (not via a select_columns stage): Filter's
+        # empty-block passthrough skips a downstream Project and emits
+        # mixed-schema RefBundles into the groupby (observed Ray
+        # warning); every block passes through this map, so the
+        # shuffle input schema is uniform
+        batch = batch.select(["url", "order_key", "data"])
         shard = (md5_low64(batch["url"]) % np.uint64(n_shards)).astype(np.int64)
         batch = batch.append_column("shard", pa.array(shard, pa.int64()))
         if done:  # prune finished shards before the (only) shuffle
             batch = batch.filter(pa.array(~np.isin(shard, list(done))))
         return batch
 
+    import ray.data as rd
+
     lineage = (
-        entries_dataset(crawl_dir)
+        rd.read_parquet(os.path.join(crawl_dir, "entries"),
+                        columns=["type", "url", "order_key", "data"])
         .filter(expr="type == 'lineage'")
-        .select_columns(["url", "order_key", "data"])
         .map_batches(assign, batch_format="pyarrow", batch_size=65536,
                      runtime_env=_RENV)
     )
@@ -287,6 +299,23 @@ def warc_export(crawl_dir: str, pages, out_dir: str, *, n_shards: int = 4,
         write, batch_format="pandas", runtime_env=_RENV
     ).to_pandas()
     rows = [fresh] if len(fresh) else []
+    # shards md5 placement left EMPTY produce no group above, so they
+    # would never get a marker — len(done) then never reaches n_shards
+    # and every resumed call re-runs the whole read+shuffle to write
+    # nothing (r5 review). Close them out with an empty shard file +
+    # marker so resume early-exits and the manifest covers ALL shards.
+    covered = done | (set(fresh["shard"].astype(int)) if len(fresh) else set())
+    for s in range(n_shards):
+        if s in covered:
+            continue
+        tmp = _shard_file(out_dir, s) + ".tmp"
+        open(tmp, "wb").close()  # zero-member .warc.gz: parses to no records
+        os.replace(tmp, _shard_file(out_dir, s))
+        m = {"shard": s, "n_responses": 0, "n_metadata": 0, "file_bytes": 0}
+        with open(_marker(out_dir, s) + ".tmp", "w") as f:
+            json.dump({**m, "n_shards": n_shards}, f)
+        os.replace(_marker(out_dir, s) + ".tmp", _marker(out_dir, s))
+        rows.append(pd.DataFrame([m]))
     for s in sorted(done):
         with open(_marker(out_dir, s)) as f:
             m = json.load(f)

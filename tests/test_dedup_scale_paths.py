@@ -224,3 +224,16 @@ def test_hub_local_star_verify_plan():
     assert covered2 == [0, 1, 2, 3]
     rows2 = sum(len(v) for v in plan2.values())
     assert rows2 <= 4 + 4  # never worse than pair-keyed (2 * n_pairs)
+
+
+def test_minhash_bands_non_dividing_band_count(ray_session):
+    """r5 review: bands that don't divide num_perm must use the first
+    bands*rows_per_band perms (the pre-vectorization per-band slicing
+    semantics), not raise a reshape ValueError."""
+    from forum_dl_ray.ops import dedup
+
+    band_ds = dedup.minhash_bands(SF_DIR, num_perm=64, bands=12)
+    df = band_ds.to_pandas()
+    n_docs = df["doc_id"].nunique()
+    assert len(df) == n_docs * 12
+    assert sorted(df["band_id"].unique()) == list(range(12))

@@ -168,6 +168,14 @@ def test_ivf_compact_files_and_atomic_publish(ray_session, tmp_path):
     b = similarity.ivf_topk(SF_DIR, [0, 1], k=5, n_clusters=8, nprobe=8,
                             index_dir=str(tmp_path / "ivf_default"))
     assert a.to_dict() == b.to_dict()
+    # and the query SERVED the compact index rather than silently
+    # rebuilding it in the default layout (the digest is
+    # layout-independent — r5 review fix): still one file per bucket
+    for name in os.listdir(idx):
+        if name.startswith("bucket="):
+            files = [f for f in os.listdir(os.path.join(idx, name))
+                     if f.endswith(".parquet")]
+            assert len(files) == 1, (name, files)
 
     # atomic publish: an incomplete leftover dir (no _DONE) is replaced;
     # a COMPLETE one is reused without ever being deleted

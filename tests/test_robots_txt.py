@@ -340,3 +340,39 @@ def test_e2e_allow_carveout(ray_session, tmp_path, tmp_path_factory):
     assert any(o.startswith(carved_pref) for o in origins)
     assert not any(o.startswith(pref) and not o.startswith(carved_pref)
                    for o in origins)
+
+
+def test_hostile_star_pattern_is_linear_time():
+    """r5 review: chained '.*' regexes backtrack catastrophically on
+    star-heavy patterns — one crafted robots.txt line would hang the
+    shard actor on every offer. The greedy segment matcher must decide
+    in linear time."""
+    import time
+
+    rules = ["/" + "*a" * 20 + "$"]
+    _, compiled = _compile_robots(rules)
+    path = "/" + "a" * 2000 + "b"
+    t0 = time.perf_counter()
+    allowed = _robots_decision(compiled, path)
+    elapsed = time.perf_counter() - t0
+    assert allowed is True  # $-anchored pattern can't match ...b
+    assert elapsed < 0.5, f"matcher not linear: {elapsed:.3f}s"
+    # and the matching variant still matches
+    assert _robots_decision(compiled, "/" + "a" * 2000) is False
+
+
+def test_malformed_disallow_cannot_inject_allow():
+    """r5 review: 'Disallow: !<path>' must not decode as an Allow
+    carve-out through the internal '!'-prefix encoding (it would make
+    a malformed remote line WEAKEN a legitimate Disallow). Values not
+    starting with '/' or '*' are dropped at parse time."""
+    txt = "User-agent: *\nDisallow: /private\nDisallow: !/private/x\n"
+    rules = parse_robots(txt)
+    assert rules == ["/private"]
+    prefixes, compiled = _compile_robots(rules)
+    if compiled is None:
+        assert any("/private/x".startswith(p) for p in prefixes)
+    else:
+        assert _robots_decision(compiled, "/private/x") is False
+    # same for Allow lines with junk values
+    assert parse_robots("User-agent: *\nAllow: !x\nDisallow: /a\n") == ["/a"]

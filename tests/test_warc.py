@@ -150,3 +150,31 @@ def test_body_drift_fails_loudly(crawl_out, tmp_path):
     pq.write_table(t, drifted)
     with pytest.raises(Exception, match="sha1|drift"):
         warc_export(crawl_dir, drifted, str(tmp_path / "w"), n_shards=2)
+
+
+def test_empty_shards_marked_and_resume_early_exits(crawl_out, tmp_path):
+    """r5 review: shard ids md5 placement leaves EMPTY never produced
+    a group, so no marker was written — len(done) never reached
+    n_shards and every resumed call re-ran the whole read+shuffle.
+    Empty shards must get a (zero-record) file + marker, appear in the
+    manifest, and make resume a pure marker read."""
+    fixture_dir, out, _, _ = crawl_out
+    pages = os.path.join(fixture_dir, "pages.parquet")
+    crawl_dir = os.path.join(out, "crawl")
+    d = str(tmp_path / "wide")
+    # micro fixture has ~dozens of lineage rows; 48 shards guarantees
+    # at least one empty shard
+    m1 = warc_export(crawl_dir, pages, d, n_shards=48)
+    assert sorted(m1["shard"]) == list(range(48))
+    empties = m1[m1["n_responses"] + m1["n_metadata"] == 0]
+    assert len(empties) > 0
+    for s in empties["shard"]:
+        f = os.path.join(d, f"shard-{int(s):05d}.warc.gz")
+        assert os.path.exists(f)
+        assert list(iter_warc_records(f)) == []  # zero-member gzip
+    mtimes = {n: os.path.getmtime(os.path.join(d, n))
+              for n in os.listdir(d)}
+    m2 = warc_export(crawl_dir, pages, d, n_shards=48, resume=True)
+    assert m2.to_dict() == m1.to_dict()
+    for n, t in mtimes.items():  # early exit: NOTHING rewritten
+        assert os.path.getmtime(os.path.join(d, n)) == t
