@@ -167,6 +167,15 @@ class Crawler:
         wave = 0
         if resume:
             wave = self._resume(frontier)
+            # restore() rebuilt buckets + robots wholesale from the
+            # snapshot; re-apply the CURRENT config so operator changes
+            # made between runs (a new host rate, a new disallow) win
+            # over checkpointed policy, matching the config-beats-
+            # discovered rule everywhere else (r5 review)
+            for host, rate in cfg.host_rates.items():
+                frontier.set_host_policy(host, rate)
+            for host, dis in self._robots_rules().items():
+                frontier.set_robots(host, dis)
         else:
             for d in (self.entries_dir, self.images_dir, self.ckpt_dir):
                 shutil.rmtree(d, ignore_errors=True)

@@ -224,13 +224,17 @@ class HttpPageStore:
         if low.startswith("text/") and "charset=" in low:
             import re as _re
 
-            m = _re.search(r"charset=([\w.-]+)", low)
+            # RFC 9110 allows the charset parameter as a quoted
+            # string ('charset="shift_jis"') — match the optionally
+            # quoted form, else the body passed through untranscoded
+            # despite the class contract (r5 review)
+            m = _re.search(r'charset="?([\w.-]+)"?', low)
             charset = m.group(1) if m else "utf-8"
             if charset not in ("utf-8", "utf8", "us-ascii", "ascii"):
                 try:
                     body = body.decode(charset, "replace").encode("utf-8")
-                    ctype = _re.sub(r"(?i)charset=[\w.-]+", "charset=utf-8",
-                                    ctype)
+                    ctype = _re.sub(r'(?i)charset="?[\w.-]+"?',
+                                    "charset=utf-8", ctype)
                 except LookupError:
                     pass  # unknown codec: pass bytes through unchanged
         return body, ctype
@@ -244,10 +248,17 @@ class HttpPageStore:
         import http.client
 
         try:
-            cur = self.request_url(url)
+            # `cur` is the LOGICAL target; every hop's wire request is
+            # re-wrapped through request_url. Resolving Location
+            # against the logical URL (not the gateway-form wire URL)
+            # is what real origins mean: an absolute Location would
+            # otherwise escape the gateway and open a direct socket,
+            # and a relative one would replace the gateway's
+            # quoted-URL path segment (r5 review).
+            cur = url
             hops = 0
             while True:
-                status, hdrs, body = self._get_once(cur)
+                status, hdrs, body = self._get_once(self.request_url(cur))
                 loc = hdrs.get("location")
                 if status in (301, 302, 303, 307, 308) and loc:
                     hops += 1

@@ -55,11 +55,14 @@ from .parse import parse_batch
 
 @ray.remote(num_cpus=1)
 def _page_task(t: pa.Table, store_box, frontier, out_path: str,
-               flaky_rate: float, retries: int) -> int:
+               flaky_rate: float, retries: int,
+               backoff_base: float = 0.0, backoff_multiplier: float = 2.0) -> int:
     # store_box = [ObjectRef]: boxed so Ray does NOT auto-deref the
     # broadcast page store into every task's argument payload
     fetched = fetch_batch(t, pages_path=store_box[0], frontier=frontier,
-                          flaky_rate=flaky_rate, retries=retries)
+                          flaky_rate=flaky_rate, retries=retries,
+                          backoff_base=backoff_base,
+                          backoff_multiplier=backoff_multiplier)
     ents = parse_batch(fetched, frontier=frontier, wave=-1)
     pq.write_table(ents, out_path)
     return ents.num_rows
@@ -67,9 +70,12 @@ def _page_task(t: pa.Table, store_box, frontier, out_path: str,
 
 @ray.remote(num_cpus=1)
 def _asset_task(t: pa.Table, store_box, frontier, out_path: str,
-                flaky_rate: float, retries: int) -> int:
+                flaky_rate: float, retries: int,
+                backoff_base: float = 0.0, backoff_multiplier: float = 2.0) -> int:
     fetched = fetch_batch(t, pages_path=store_box[0], frontier=frontier,
-                          flaky_rate=flaky_rate, retries=retries)
+                          flaky_rate=flaky_rate, retries=retries,
+                          backoff_base=backoff_base,
+                          backoff_multiplier=backoff_multiplier)
     rows = asset_batch(fetched)
     pq.write_table(rows, out_path)
     return rows.num_rows
@@ -83,7 +89,8 @@ class PumpActor:
                  store_box, entries_dir: str, images_dir: str,
                  rows_per_task: int = 512, max_inflight: int = 8,
                  fetch_assets: bool = True, flaky_rate: float = 0.0,
-                 retries: int = 3, start_part: int = 0):
+                 retries: int = 3, start_part: int = 0,
+                 backoff_base: float = 0.0, backoff_multiplier: float = 2.0):
         self.pump_id = pump_id
         self.frontier = frontier
         self.my_shards = [frontier.shards[i] for i in my_shard_ids]
@@ -97,6 +104,8 @@ class PumpActor:
         self.fetch_assets = fetch_assets
         self.flaky_rate = flaky_rate
         self.retries = retries
+        self.backoff_base = backoff_base
+        self.backoff_multiplier = backoff_multiplier
         self.inflight: list = []
         self.part = start_part  # resumed runs continue the numbering
         self.n_dispatched = 0
@@ -167,6 +176,7 @@ class PumpActor:
                             task.options(runtime_env=_STAGE_RUNTIME_ENV).remote(
                                 chunk, self.store_box, self.frontier, out_path,
                                 self.flaky_rate, self.retries,
+                                self.backoff_base, self.backoff_multiplier,
                             )
                         )
                         dispatched += chunk.num_rows
@@ -344,9 +354,23 @@ class MultiPumpCrawler:
             }))
         if resume:
             frontier.restore(os.path.join(c.ckpt_dir, f"tick={ckpt_tick}"))
+            # restore() rebuilt buckets + robots from the snapshot;
+            # re-apply the CURRENT config so operator changes made
+            # between runs win (r5 review; mirrors Crawler.run)
+            for host, rate in cfg.host_rates.items():
+                frontier.set_host_policy(host, rate)
+            for host, dis in c._robots_rules().items():
+                frontier.set_robots(host, dis)
         else:
             frontier.offer(c.seed_entries())
-        store_box = [put_store(c.pages_path)]
+        # honor the HTTP-gateway seam exactly like the wave Crawler:
+        # the pump path silently crawled the parquet fixture (or raised
+        # FileNotFoundError) when http_gateway was configured (r5 review)
+        if cfg.http_gateway is not None:
+            store_box = [("http", cfg.http_gateway, cfg.timeout_s,
+                          cfg.user_agent)]
+        else:
+            store_box = [put_store(c.pages_path)]
 
         shard_ids = list(range(cfg.num_shards))
         pumps = [
@@ -361,6 +385,8 @@ class MultiPumpCrawler:
                                  2 * int(ray.cluster_resources().get("CPU", 4))),
                 fetch_assets=cfg.fetch_assets, flaky_rate=cfg.flaky_rate,
                 retries=cfg.retries, start_part=start_parts.get(p, 0),
+                backoff_base=cfg.backoff_base,
+                backoff_multiplier=cfg.backoff_multiplier,
             )
             for p in range(self.n_pumps)
         ]
@@ -456,7 +482,13 @@ class MultiPumpCrawler:
                 if not os.path.isdir(pdir):
                     continue
                 for name in os.listdir(pdir):
+                    # parse the FULL number between 'part-' and the
+                    # extension: f'{part:06d}' widens past 6 digits at
+                    # part 10^6, and a fixed [5:11] slice would read
+                    # 'part-1000000' as 100000 and let the stale
+                    # post-checkpoint file survive pruning (r5 review)
                     if (name.startswith("part-")
-                            and int(name[5:11]) >= parts.get(p, 0)):
+                            and int(name[5:].split(".", 1)[0])
+                            >= parts.get(p, 0)):
                         os.remove(os.path.join(pdir, name))
         return tick, parts

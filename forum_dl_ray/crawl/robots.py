@@ -62,7 +62,13 @@ def parse_robots(text: str, user_agent: str = "forum-dl-ray") -> list[str]:
                 agents, rules = [], []
                 group_open = True
             agents.append(value.lower())
-        else:
+        elif field in ("disallow", "allow"):
+            # only RULE lines close a user-agent run; unknown fields
+            # (Sitemap:, Crawl-delay:, ...) must not interfere with
+            # group parsing (RFC 9309 §2.2.2 "MUST NOT interfere";
+            # r5 review: a Sitemap line between two User-agent lines
+            # split what should be one merged group and dropped the
+            # earlier agent's rules)
             group_open = False
             # a robots path must start with '/' or '*' (RFC 9309
             # §2.2.2); anything else is malformed AND, for Disallow,

@@ -27,6 +27,34 @@ from ..schemas import FRONTIER_ENTRY
 from ..urlnorm import url_hash64, url_hash64_array
 from .shard import FrontierShard
 
+# per-task offer ordinals for _offer_key (module global: lives in the
+# worker process; a retried task runs in a FRESH worker — the retry
+# trigger is worker death — so the sequence replays deterministically)
+_OFFER_SEQS: dict[str, int] = {}
+
+
+def _offer_key() -> str | None:
+    """Identity for one offer() call, deterministic across Ray task
+    retries and unique across distinct offers: (task_id, per-task
+    ordinal). Returns None outside a Ray task (driver offers — seeds,
+    benches — have no retry mechanism, so no caching is needed and the
+    dup-offer fast path stays allocation-free)."""
+    try:
+        import ray as _ray
+
+        tid = _ray.get_runtime_context().get_task_id()
+    except Exception:
+        return None
+    if tid is None:
+        return None
+    seq = _OFFER_SEQS.get(tid, -1) + 1
+    _OFFER_SEQS[tid] = seq
+    if len(_OFFER_SEQS) > 1024:  # bound: drop ordinals of other tasks
+        for k in list(_OFFER_SEQS):
+            if k != tid:
+                del _OFFER_SEQS[k]
+    return f"{tid}:{seq}"
+
 
 @dataclass
 class FrontierConfig:
@@ -91,15 +119,30 @@ class Frontier:
             )
             urls = [r["url"] for r in rows]
         # 1) seen anti-join, sharded by url_hash (dup offers end here —
-        # no arrow conversion on that path)
+        # no arrow conversion on that path). Both RPC waves carry a
+        # retry-stable idempotence key: a parse worker dying between
+        # the waves would otherwise leave its URLs marked seen but
+        # never enqueued, and Ray's task retry would then drop the
+        # whole discovered subtree (r5 review; FrontierShard._idem).
+        # keys also fold in a digest of the leg's url_hash content: a
+        # replay that somehow differs (e.g. a live-HTTP page changed
+        # between attempts) must MISS the cache and be re-decided, not
+        # have a stale mask applied to mismatched rows
+        import hashlib as _hl
+
+        base = _offer_key()
         shard_of = hashes % self.num_shards
         futures = {}
         for s in np.unique(shard_of):
             ii = np.nonzero(shard_of == s)[0]
+            key = None
+            if base is not None:
+                dg = _hl.blake2b(hashes[ii].tobytes(), digest_size=8).hexdigest()
+                key = (base, "s", int(s), dg)
             futures[int(s)] = (
                 ii,
                 self.shards[int(s)].seen_offer.remote(
-                    hashes[ii], [urls[i] for i in ii]
+                    hashes[ii], [urls[i] for i in ii], key=key,
                 ),
             )
         fresh = np.zeros(n, dtype=bool)
@@ -127,7 +170,14 @@ class Frontier:
         enq = []
         for s in np.unique(host_shard):
             jj = np.nonzero(host_shard == s)[0]
-            enq.append(self.shards[int(s)].enqueue.remote(fresh_t.take(jj)))
+            sub = fresh_t.take(jj)
+            key = None
+            if base is not None:
+                hs = sub["url_hash"].to_numpy(zero_copy_only=False)
+                dg = _hl.blake2b(np.ascontiguousarray(hs).tobytes(),
+                                 digest_size=8).hexdigest()
+                key = (base, "q", int(s), dg)
+            enq.append(self.shards[int(s)].enqueue.remote(sub, key=key))
         return int(sum(ray.get(enq))) if enq else 0
 
     def mark_failed(self, urls: list[str]) -> None:
@@ -211,6 +261,18 @@ class Frontier:
 
         import pyarrow.parquet as pq
 
+        # seen hashes were partitioned by h % num_shards at snapshot
+        # time: restoring into a different shard count silently drops
+        # the extra shard dirs' pending work AND mis-routes every
+        # dup-check (previously seen URLs re-fetch). Refuse, like
+        # pump's n_pumps and the exports' n_shards guards (r5 review).
+        snap_dirs = [n for n in os.listdir(path) if n.startswith("shard=")]
+        if len(snap_dirs) != self.num_shards:
+            raise ValueError(
+                f"checkpoint at {path} has {len(snap_dirs)} shard dirs "
+                f"but this frontier runs num_shards={self.num_shards} — "
+                "seen-set routing is h % num_shards; resume with the "
+                "original shard count")
         futs = []
         for i, shard in enumerate(self.shards):
             d = os.path.join(path, f"shard={i}")

@@ -289,8 +289,13 @@ class ShardState:
             push(heap, (d, s, cid, row))
         return entries.num_rows
 
-    def _release_rows(self, taken: list[tuple[int, int]]) -> pa.Table:
-        """(chunk_id, row) list → one output table; frees drained chunks."""
+    def _release_rows(self, taken: list[tuple[int, int]],
+                      free: bool = True) -> pa.Table:
+        """(chunk_id, row) list → one output table; frees drained
+        chunks unless ``free=False`` (snapshot reads the queue without
+        consuming it). One function for both paths — poll output and
+        snapshot output MUST agree row-for-row, so the take/offset
+        reassembly logic must never diverge (r5 review)."""
         if not taken:
             return FRONTIER_ENTRY.empty_table()
         by_chunk: dict[int, list[int]] = {}
@@ -300,34 +305,13 @@ class ShardState:
             order.append((c, len(lst)))
             lst.append(r)
         pieces = {c: self._chunks[c].take(rows) for c, rows in by_chunk.items()}
-        for c, rows in by_chunk.items():
-            self._chunk_live[c] -= len(rows)
-            if self._chunk_live[c] == 0:
-                del self._chunks[c]
-                del self._chunk_live[c]
+        if free:  # snapshot passes free=False: chunks stay in place
+            for c, rows in by_chunk.items():
+                self._chunk_live[c] -= len(rows)
+                if self._chunk_live[c] == 0:
+                    del self._chunks[c]
+                    del self._chunk_live[c]
         # single-chunk fast path (typical poll)
-        if len(pieces) == 1:
-            return next(iter(pieces.values()))
-        chunk_ids = list(by_chunk)
-        offsets: dict[int, int] = {}
-        off = 0
-        for c in chunk_ids:
-            offsets[c] = off
-            off += len(by_chunk[c])
-        big = pa.concat_tables([pieces[c] for c in chunk_ids])
-        return big.take([offsets[c] + p for c, p in order])
-
-    def _release_rows_nofree(self, taken: list[tuple[int, int]]) -> pa.Table:
-        """Like _release_rows but leaves the chunks in place (snapshot)."""
-        if not taken:
-            return FRONTIER_ENTRY.empty_table()
-        by_chunk: dict[int, list[int]] = {}
-        order: list[tuple[int, int]] = []
-        for c, r in taken:
-            lst = by_chunk.setdefault(c, [])
-            order.append((c, len(lst)))
-            lst.append(r)
-        pieces = {c: self._chunks[c].take(rows) for c, rows in by_chunk.items()}
         if len(pieces) == 1:
             return next(iter(pieces.values()))
         chunk_ids = list(by_chunk)
@@ -385,12 +369,12 @@ class ShardState:
     def pending_count(self) -> int:
         return len(self.heap)
 
-    # ------------------------------------------------------------ checkpoint
-    def snapshot(self) -> dict[str, Any]:
-        pending = self._release_rows_nofree(
-            [(c, r) for (_, _, c, r) in sorted(self.heap)]
-        )
-        seen = pa.table(
+    def seen_table(self) -> pa.Table:
+        """Exact seen rows only — the oracle/export surface. Dedicated
+        method: going through snapshot() serialized megabytes of
+        bloom/cuckoo bytes and materialized the whole pending queue per
+        call, all discarded (r5 review)."""
+        return pa.table(
             {
                 "url_hash": pa.array([h for h in self.exact], type=pa.int64()),
                 "url": pa.array([v[0] for v in self.exact.values()], type=pa.string()),
@@ -398,6 +382,13 @@ class ShardState:
             },
             schema=SEEN_CHECKPOINT,
         )
+
+    # ------------------------------------------------------------ checkpoint
+    def snapshot(self) -> dict[str, Any]:
+        pending = self._release_rows(
+            [(c, r) for (_, _, c, r) in sorted(self.heap)], free=False
+        )
+        seen = self.seen_table()
         return {
             "shard_id": self.shard_id,
             "bloom": self.bloom.to_bytes(),
@@ -471,16 +462,56 @@ class FrontierShard:
     of shards coexists with fetch/parse stages on the same nodes."""
 
     def __init__(self, shard_id: int, capacity: int, exact: bool, default_rate: float):
-        self.state = ShardState(shard_id, capacity, exact=exact, default_rate=default_rate)
+        from collections import OrderedDict
 
-    def seen_offer(self, hashes: np.ndarray, urls: list[str], failed: bool = False) -> np.ndarray:
-        return self.state.seen_offer(hashes, urls, failed=failed)
+        self.state = ShardState(shard_id, capacity, exact=exact, default_rate=default_rate)
+        # idempotence cache for offer legs (r5 review): offer() is TWO
+        # RPC waves (seen check-and-set, then enqueue) issued from
+        # parse workers that Ray retries on worker death. A crash
+        # between the waves replays the offer, the seen set says
+        # "duplicate", and the discovered URLs would be silently lost.
+        # Each leg therefore carries a key deterministic across retries
+        # (task_id + per-task ordinal, frontier.py:_offer_key); replays
+        # return the FIRST attempt's result instead of re-deciding, so
+        # the retried task re-issues the exact enqueues the dead worker
+        # never sent (and an enqueue that DID land is not duplicated).
+        self._idem: "OrderedDict[tuple, Any]" = OrderedDict()
+
+    def _idem_get(self, key):
+        if key is None:
+            return None
+        v = self._idem.get(key)
+        if v is not None:
+            self._idem.move_to_end(key)
+        return v
+
+    def _idem_put(self, key, val) -> None:
+        if key is None:
+            return
+        self._idem[key] = val
+        while len(self._idem) > 2048:
+            self._idem.popitem(last=False)
+
+    def seen_offer(self, hashes: np.ndarray, urls: list[str],
+                   failed: bool = False, key: tuple | None = None) -> np.ndarray:
+        cached = self._idem_get(key)
+        if cached is not None:
+            return cached
+        out = self.state.seen_offer(hashes, urls, failed=failed)
+        self._idem_put(key, out)
+        return out
 
     def mark_failed(self, hashes: np.ndarray, urls: list[str]) -> None:
         self.state.mark_failed(hashes, urls)
 
-    def enqueue(self, entries: list[dict[str, Any]]) -> int:
-        return self.state.enqueue(entries)
+    def enqueue(self, entries: list[dict[str, Any]],
+                key: tuple | None = None) -> int:
+        cached = self._idem_get(key)
+        if cached is not None:
+            return cached
+        out = self.state.enqueue(entries)
+        self._idem_put(key, out)
+        return out
 
     def poll(self, now: float, max_n: int) -> pa.Table:
         return self.state.poll(now, max_n)
@@ -507,4 +538,4 @@ class FrontierShard:
         return self.state.counters()
 
     def seen_table(self) -> pa.Table:
-        return self.state.snapshot()["seen"]
+        return self.state.seen_table()

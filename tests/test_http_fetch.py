@@ -44,21 +44,23 @@ def gateway(fixture_dir):
             """Synthetic endpoints for the hardened-HTTP cases (r3
             verdict Next #6): redirects, gzip, charset."""
             import gzip as _gzip
-            from urllib.parse import quote
 
+            # Location headers are ORIGIN-form (what real servers
+            # send) — absolute origin URL or origin-relative path;
+            # the client must resolve them against the LOGICAL url
+            # and re-wrap each hop through the gateway (r5 review:
+            # gateway-form Locations here masked a redirect escape)
             if url == "http://special.test/redirect-chain":
-                # absolute redirect to the relative-redirect hop
+                # absolute origin redirect to the relative-redirect hop
                 self.send_response(301)
                 self.send_header("Location",
-                                 "/" + quote("http://special.test/redirect-rel",
-                                             safe=""))
+                                 "http://special.test/redirect-rel")
                 self.send_header("Content-Length", "0")
                 self.end_headers()
                 return True
             if url == "http://special.test/redirect-rel":
                 self.send_response(302)
-                self.send_header("Location",
-                                 quote("http://special.test/final", safe=""))
+                self.send_header("Location", "/final")  # origin-relative
                 self.send_header("Content-Length", "0")
                 self.end_headers()
                 return True
@@ -73,8 +75,7 @@ def gateway(fixture_dir):
             if url == "http://special.test/redirect-loop":
                 self.send_response(302)
                 self.send_header("Location",
-                                 "/" + quote("http://special.test/redirect-loop",
-                                             safe=""))
+                                 "http://special.test/redirect-loop")
                 self.send_header("Content-Length", "0")
                 self.end_headers()
                 return True

@@ -376,3 +376,22 @@ def test_malformed_disallow_cannot_inject_allow():
         assert _robots_decision(compiled, "/private/x") is False
     # same for Allow lines with junk values
     assert parse_robots("User-agent: *\nAllow: !x\nDisallow: /a\n") == ["/a"]
+
+
+def test_non_rule_lines_do_not_split_agent_runs():
+    """r5 review: RFC 9309 §2.2.2 — lines the parser doesn't support
+    MUST NOT interfere with group parsing. A Sitemap:/Crawl-delay:
+    line between two User-agent lines must not split the merged
+    group (it dropped the earlier agent's rules)."""
+    txt = ("User-agent: forum-dl\n"
+           "Sitemap: http://h/s.xml\n"
+           "User-agent: other\n"
+           "Crawl-delay: 5\n"
+           "Disallow: /private\n")
+    assert parse_robots(txt, "forum-dl-ray") == ["/private"]
+    assert parse_robots(txt, "other-bot") == ["/private"]
+    # and a rule line still closes the run: a later User-agent opens
+    # a NEW group that does not inherit /private
+    txt2 = txt + "User-agent: third\nDisallow: /only-third\n"
+    assert parse_robots(txt2, "third-bot") == ["/only-third"]
+    assert parse_robots(txt2, "forum-dl-ray") == ["/private"]

@@ -96,3 +96,36 @@ def test_snapshot_restore_roundtrip():
     a = s.poll(0.0, 50)["url"].to_pylist()
     b = s2.poll(0.0, 50)["url"].to_pylist()
     assert a == b
+
+
+def test_offer_legs_idempotent_under_retry_keys(ray_session):
+    """r5 review: offer() is two RPC waves from retryable parse tasks.
+    With a retry-stable key, a replayed seen_offer returns the FIRST
+    attempt's fresh mask (so the retry re-issues the enqueues a dead
+    worker never sent) and a replayed enqueue is a no-op (so an
+    enqueue that DID land is not duplicated). Keyless calls keep the
+    plain check-and-set semantics."""
+    import ray
+
+    from forum_dl_ray.frontier.frontier import Frontier, FrontierConfig
+
+    f = Frontier.create(FrontierConfig(num_shards=1))
+    shard = f.shards[0]
+    url = "http://idem.test/a"
+    h = np.array([url_hash64(url)], dtype=np.int64)
+
+    k_seen = ("task1:0", "s", 0, "dg")
+    m1 = ray.get(shard.seen_offer.remote(h, [url], key=k_seen))
+    m2 = ray.get(shard.seen_offer.remote(h, [url], key=k_seen))  # replay
+    assert m1.tolist() == [True] and m2.tolist() == [True]
+    # a DIFFERENT offer of the same URL is still a duplicate
+    assert not ray.get(shard.seen_offer.remote(h, [url]))[0]
+    assert not ray.get(
+        shard.seen_offer.remote(h, [url], key=("task2:0", "s", 0, "dg")))[0]
+
+    k_enq = ("task1:0", "q", 0, "dg")
+    e = [entry(url)]
+    n1 = ray.get(shard.enqueue.remote(e, key=k_enq))
+    n2 = ray.get(shard.enqueue.remote(e, key=k_enq))  # replay: no-op
+    assert n1 == 1 and n2 == 1
+    assert ray.get(shard.pending_count.remote()) == 1  # not 2
