@@ -53,22 +53,12 @@ def neardup_drop_set(sf_dir: str, **kw) -> frozenset:
     """Doc ids removed by the MinHash near-dup keeper rule (keeper =
     min doc_id reachable via verified pairs; everything else in a
     cluster drops). O(pairs) ≪ corpus."""
+    from ._uf import union_find_roots
     from .dedup import minhash_dedup_pairs
 
     pairs = minhash_dedup_pairs(sf_dir, **kw)
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in zip(pairs["id_a"], pairs["id_b"]):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    return frozenset(d for d in parent if find(d) != d)
+    roots = union_find_roots(pairs["id_a"], pairs["id_b"])
+    return frozenset(d for d, r in roots.items() if r != d)
 
 
 def corpus_shards_default(sf_dir: str,
@@ -94,26 +84,17 @@ def _marker(out_dir: str, shard: int) -> str:
 
 
 def _read_done(out_dir: str, n_shards: int | None = None) -> dict[int, dict]:
-    """Finished-shard markers; raises when a marker was written under
-    a different ``n_shards`` (md5 placement is a function of it —
-    resuming across a width change silently drops/duplicates docs;
-    mirrors pump.py's n_pumps guard)."""
-    done = {}
-    if not os.path.isdir(out_dir):
-        return done
-    for name in os.listdir(out_dir):
-        if name.startswith("shard-") and name.endswith(".json"):
-            with open(os.path.join(out_dir, name)) as f:
-                m = json.load(f)
-            if (n_shards is not None and "n_shards" in m
-                    and m["n_shards"] != n_shards):
-                raise ValueError(
-                    f"{out_dir}/{name} was written with n_shards="
-                    f"{m['n_shards']} but this run uses {n_shards} — "
-                    "md5 placement differs; export to a fresh out_dir")
-            if os.path.exists(os.path.join(out_dir, f"shard-{m['shard']:05d}.parquet")):
-                done[m["shard"]] = m
-    return done
+    """Finished-shard markers (shared protocol, ops/_markers.py)."""
+    from ._markers import read_done
+
+    return read_done(out_dir, n_shards, ".parquet")
+
+
+_SHARD_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("text", pa.large_string()),
+    ("n_tokens", pa.int64()), ("pack_id", pa.int64()),
+    ("pack_pos", pa.int64()),
+])
 
 
 def _shard_of_int_ids(ids: np.ndarray, n_shards: int) -> np.ndarray:
@@ -149,10 +130,29 @@ def corpus_curated_export(
     resumed) — O(n_shards), driver-small."""
     from .queries import corpus_clean
 
+    from ._markers import clear_stale, closeout_empty
+
     if n_shards is None:
         n_shards = corpus_shards_default(sf_dir)
     os.makedirs(out_dir, exist_ok=True)
-    done = _read_done(out_dir, n_shards) if resume else {}
+    cols = ["shard", "n_docs", "n_chars", "n_packs", "sha256", "resumed"]
+    if resume:
+        done = _read_done(out_dir, n_shards)
+    else:
+        # fresh run: clear stale shards from a previous (possibly
+        # different-n_shards) export — consumers glob shard-*.parquet
+        # and would read duplicated docs (r5 review)
+        clear_stale(out_dir, ".parquet")
+        done = {}
+    if len(done) == n_shards:
+        # fully finished: skip the ENTIRE pipeline (the near-dup
+        # LSH+verify chain is several corpus scans) — r5 review,
+        # mirrors warc_export's early exit
+        return (pd.DataFrame([{**m, "resumed": True} for m in done.values()],
+                             columns=cols)
+                .sort_values("shard").reset_index(drop=True)
+                .astype({"shard": "int64", "n_docs": "int64",
+                         "n_chars": "int64", "n_packs": "int64"}))
     drop = set(neardup_drop_set(sf_dir))
     if decontaminate_min_hits is not None:
         # benchmark-decontamination stage: the hit list is O(docs
@@ -163,11 +163,23 @@ def corpus_curated_export(
         hits = decontaminate_hits(sf_dir)
         drop |= set(hits.loc[hits["n_hit"] >= decontaminate_min_hits, "doc_id"]
                     .astype(int))
-    drop_ref = ray.put(frozenset(drop))
+    drop_sorted = np.sort(np.fromiter(drop, dtype=np.int64, count=len(drop)))
+    drop_ref = ray.put(drop_sorted)
 
     def _tag(batch: pa.Table, side: int) -> pa.Table:
         ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
         shard = _shard_of_int_ids(ids, n_shards)
+        keep = np.ones(len(ids), dtype=bool)
+        if done:  # resumed: finished shards pruned before the shuffle
+            keep &= ~np.isin(shard, list(done))
+        # near-dup / decontamination drops pruned BEFORE the shuffle
+        # too: a dropped doc's text body must never cross the
+        # pipeline's only exchange just to be discarded in write_shard
+        # (r5 review; the module docstring promises it)
+        ds_ = ray.get(drop_ref)
+        if len(ds_):
+            pos = np.minimum(np.searchsorted(ds_, ids), len(ds_) - 1)
+            keep &= ds_[pos] != ids
         text = (batch["text"] if side == 1
                 else pa.array([""] * len(batch), pa.large_string()))
         t = pa.table({
@@ -176,8 +188,8 @@ def corpus_curated_export(
             "side": pa.array(np.full(len(batch), side, dtype=np.int8)),
             "shard": pa.array(shard, pa.int64()),
         })
-        if done:  # resumed: finished shards pruned before the shuffle
-            t = t.filter(pa.array(~np.isin(shard, list(done))))
+        if not keep.all():
+            t = t.filter(pa.array(keep))
         return t
 
     survivors = corpus_clean(sf_dir).map_batches(
@@ -202,20 +214,14 @@ def corpus_curated_export(
         for r in rows.itertuples(index=False):
             h.update(str(r.doc_id).encode())
             h.update(hashlib.blake2b(r.text.encode(), digest_size=16).digest())
-        # in-shard greedy packing (pack_sequences' rule: docs never
-        # split; a doc over budget gets its own pack)
+        # in-shard greedy packing — the SAME kernel pack_sequences
+        # runs (shared: queries.pack_greedy), so the shard packs can't
+        # drift from the oracle's rule (r5 review)
+        from .queries import pack_greedy
+
         n_tok = rows["text"].str.count(r"\S+").to_numpy(dtype=np.int64)
-        pack_local = np.empty(len(rows), dtype=np.int64)
-        pack_pos = np.empty(len(rows), dtype=np.int64)
-        cur, fill, pos = 0, 0, 0
-        for i, t in enumerate(n_tok):
-            if fill > 0 and fill + t > pack_budget:
-                cur += 1
-                fill, pos = 0, 0
-            pack_local[i] = cur
-            pack_pos[i] = pos
-            fill += t
-            pos += 1
+        pack_local, pack_pos = pack_greedy(n_tok, pack_budget)
+        cur = int(pack_local[-1]) if len(pack_local) else 0
         path = os.path.join(out_dir, f"shard-{shard:05d}.parquet")
         pq.write_table(
             pa.table({"doc_id": pa.array(rows["doc_id"].to_numpy(), pa.int64()),
@@ -238,7 +244,6 @@ def corpus_curated_export(
         os.replace(_marker(out_dir, shard) + ".tmp", _marker(out_dir, shard))
         return pd.DataFrame([{**manifest, "resumed": False}])
 
-    cols = ["shard", "n_docs", "n_chars", "n_packs", "sha256", "resumed"]
     written = (
         survivors.union(docs)
         .groupby("shard")
@@ -247,12 +252,22 @@ def corpus_curated_export(
     )
     if written.empty:
         written = pd.DataFrame(columns=cols)
-    skipped = pd.DataFrame([{**m, "resumed": True} for m in done.values()],
+    # close out md5-empty shards with an empty (0-row, right-schema)
+    # parquet + marker so resume early-exits and the manifest covers
+    # every shard (shared protocol, r5 review)
+    covered = set(done) | {int(s) for s in written.get("shard", [])}
+    zeros = closeout_empty(
+        out_dir, n_shards, covered, ".parquet",
+        lambda p: pq.write_table(_SHARD_SCHEMA.empty_table(), p),
+        lambda s: {"shard": s, "n_docs": 0, "n_chars": 0, "n_packs": 0,
+                   "sha256": hashlib.sha256().hexdigest()})
+    skipped = pd.DataFrame([{**m, "resumed": True} for m in done.values()]
+                           + [{**m, "resumed": False} for m in zeros],
                            columns=cols)
     out = pd.concat([written, skipped], ignore_index=True)
     return out.sort_values("shard").reset_index(drop=True).astype(
         {"shard": "int64", "n_docs": "int64", "n_chars": "int64",
-         "n_packs": "int64"})
+         "n_packs": "int64", "resumed": "bool"})
 
 
 def crawl_documents_table(crawl_out: str, dest_root: str) -> str:

@@ -408,30 +408,23 @@ def minhash_clusters(sf_dir: str, **kw) -> rd.Dataset:
     in a streaming map_batches over the corpus — no O(corpus) driver
     loop, and the result stays a Dataset (write_parquet-able at
     scale)."""
+    from ._uf import assign_roots_i64, roots_arrays, union_find_roots
+
     pairs = minhash_dedup_pairs(sf_dir, **kw)
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in zip(pairs["id_a"], pairs["id_b"]):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    # collapse every chain so the broadcast map is a direct doc->root
-    # lookup (size O(#docs-in-pairs), tiny)
-    roots = {d: find(d) for d in list(parent)}
-    root_ref = ray.put(roots)
+    # collapsed min-root map over the verified pairs (O(ids-in-pairs),
+    # tiny), broadcast as pre-sorted int64 arrays — the former pandas
+    # Series.map(...).fillna(...) assignment promoted to float64 and
+    # ROUNDED doc_ids >= 2^53 (the crawl corpus assigns 62-bit ids;
+    # r5 review, reproduced)
+    roots = union_find_roots(pairs["id_a"], pairs["id_b"])
+    root_ref = ray.put(roots_arrays(roots))
 
     def assign(batch: pa.Table) -> pa.Table:
-        r = ray.get(root_ref)
-        ids = pd.Series(batch["doc_id"].to_numpy(zero_copy_only=False))
-        cluster = ids.map(r).fillna(ids).astype(np.int64)
-        return pa.table({"doc_id": pa.array(ids.to_numpy(), pa.int64()),
-                         "cluster_id": pa.array(cluster.to_numpy(), pa.int64())})
+        keys, vals = ray.get(root_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cluster = assign_roots_i64(ids, keys, vals)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "cluster_id": pa.array(cluster, pa.int64())})
 
     return _read_docs(sf_dir, ["doc_id"]).map_batches(
         assign, batch_format="pyarrow", runtime_env=_RENV, batch_size=65536

@@ -97,26 +97,17 @@ def _tar_path(out_dir: str, shard: int) -> str:
 
 
 def _read_markers(out_dir: str, n_shards: int | None = None) -> dict[int, dict]:
-    """Finished-shard markers. When ``n_shards`` is given, a marker
-    recording a different shard count raises — the md5 placement is a
-    function of n_shards, so resuming across a width change would
-    silently drop/duplicate samples (mirrors pump.py's n_pumps guard)."""
-    done = {}
-    if not os.path.isdir(out_dir):
-        return done
-    for name in os.listdir(out_dir):
-        if name.startswith("shard-") and name.endswith(".json"):
-            with open(os.path.join(out_dir, name)) as f:
-                m = json.load(f)
-            if (n_shards is not None and "n_shards" in m
-                    and m["n_shards"] != n_shards):
-                raise ValueError(
-                    f"{out_dir}/{name} was written with n_shards="
-                    f"{m['n_shards']} but this run uses {n_shards} — "
-                    "md5 placement differs; export to a fresh out_dir")
-            if os.path.exists(_tar_path(out_dir, m["shard"])):
-                done[m["shard"]] = m
-    return done
+    """Finished-shard markers (shared protocol, ops/_markers.py)."""
+    from ._markers import read_done
+
+    return read_done(out_dir, n_shards, ".tar")
+
+
+def _empty_tar_bytes() -> bytes:
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT):
+        pass
+    return buf.getvalue()
 
 
 def _add_entry(tf: tarfile.TarFile, name: str, payload: bytes) -> None:
@@ -190,11 +181,29 @@ def image_shard_export(
     construction."""
     import ray as _ray
 
+    from ._markers import clear_stale, closeout_empty, write_marker
+
     src = src or images_table_path(sf_dir)
     if n_shards is None:
         n_shards = default_n_shards(src)
     os.makedirs(out_dir, exist_ok=True)
-    done = _read_markers(out_dir, n_shards) if resume else {}
+    cols = ["shard", "n_samples", "payload_bytes", "sha256", "resumed"]
+    if resume:
+        done = _read_markers(out_dir, n_shards)
+    else:
+        # fresh run: stale shards from a previous (possibly
+        # different-n_shards) export must not survive next to the new
+        # ones — consumers glob shard-* and would read samples twice
+        # (r5 review; mirrors pump's fresh-run ckpt_dir clear)
+        clear_stale(out_dir, ".tar")
+        done = {}
+    if len(done) == n_shards:  # fully finished: skip the whole pipeline
+        return (pd.DataFrame([{**m, "resumed": True} for m in done.values()],
+                             columns=cols)
+                .drop(columns=["n_shards"], errors="ignore")
+                .sort_values("shard").reset_index(drop=True)
+                .astype({"shard": "int64", "n_samples": "int64",
+                         "payload_bytes": "int64"}))
     drop_ref = _ray.put(drop_ids) if drop_ids else None
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -222,16 +231,32 @@ def image_shard_export(
         .to_pandas()
     )
     if written.empty:  # fully-resumed run: no groups reached the packer
-        written = pd.DataFrame(
-            columns=["shard", "n_samples", "payload_bytes", "sha256", "resumed"]
-        )
+        written = pd.DataFrame(columns=cols)
+    # md5-empty shards: close them out with an empty tar + marker so
+    # len(done)==n_shards is a reliable finished test and the manifest
+    # covers every shard (r5 review; the warc sink's protocol)
+    covered = set(done) | {int(s) for s in written.get("shard", [])}
+    empty_raw = _empty_tar_bytes()
+
+    def _make_empty(path: str) -> None:
+        with open(path, "wb") as f:
+            f.write(empty_raw)
+
+    zeros = closeout_empty(
+        out_dir, n_shards, covered, ".tar", _make_empty,
+        lambda s: {"shard": s, "n_samples": 0, "payload_bytes": 0,
+                   "sha256": hashlib.sha256(empty_raw).hexdigest()})
     skipped = pd.DataFrame(
-        [{**m, "resumed": True} for m in done.values()],
-        columns=["shard", "n_samples", "payload_bytes", "sha256", "resumed"],
+        [{**m, "resumed": True} for m in done.values()]
+        + [{**m, "resumed": False} for m in zeros],
+        columns=cols,
     )
     out = pd.concat([written, skipped], ignore_index=True)
+    # explicit resumed cast: concat with an all-empty `written` frame
+    # leaves object dtype, and callers negate the column (~resumed)
     return out.sort_values("shard").reset_index(drop=True).astype(
-        {"shard": "int64", "n_samples": "int64", "payload_bytes": "int64"}
+        {"shard": "int64", "n_samples": "int64", "payload_bytes": "int64",
+         "resumed": "bool"}
     )
 
 

@@ -343,9 +343,20 @@ def image_ann_topk(sf_dir: str, query_ids: list[str] | None = None, k: int = 5,
     import ray as _ray
 
     if query_ids is None:
-        # deterministic default: first 3 ids in lexicographic order
-        ids_ds = _read_images(["image_id"], src).to_pandas()
-        query_ids = sorted(ids_ds["image_id"])[:3]
+        # deterministic default: first 3 ids in lexicographic order —
+        # via a per-batch min-3 combiner (the full .to_pandas() here
+        # pulled the whole id column through the driver, the exact
+        # round-1 antipattern the other ops fixed; r5 review). The
+        # driver sees O(blocks·3) rows.
+        def local_min3(batch: pa.Table) -> pa.Table:
+            ids = sorted(batch["image_id"].to_pylist())[:3]
+            return pa.table({"image_id": pa.array(ids, pa.string())})
+
+        partials = (_read_images(["image_id"], src)
+                    .map_batches(local_min3, batch_format="pyarrow",
+                                 runtime_env=_RENV, batch_size=65536)
+                    .to_pandas())
+        query_ids = sorted(partials["image_id"])[:3]
     qset = list(query_ids)
 
     def only_queries(batch: pa.Table) -> pa.Table:
@@ -505,20 +516,10 @@ def image_phash_clusters(sf_dir: str, max_hamming: int = 12,
     the corpus — the result stays a Dataset."""
     import ray as _ray
 
+    from ._uf import union_find_roots
+
     pairs = image_phash_neardup(sf_dir, max_hamming, src=src)
-    parent: dict[str, str] = {}
-
-    def find(x: str) -> str:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in zip(pairs["id_a"], pairs["id_b"]):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    roots = {d: find(d) for d in list(parent)}
+    roots = union_find_roots(pairs["id_a"], pairs["id_b"])
     root_ref = _ray.put(roots)
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -546,19 +547,10 @@ def image_dedup_drop_set(sf_dir: str, max_hamming: int = 12,
     set."""
     import ray as _ray
 
+    from ._uf import union_find_roots
+
     pairs = image_phash_neardup(sf_dir, max_hamming, src=src)
-    clustered: dict[str, str] = {}
-
-    def find(x: str) -> str:
-        while clustered.setdefault(x, x) != x:
-            clustered[x] = clustered[clustered[x]]
-            x = clustered[x]
-        return x
-
-    for a, b in zip(pairs["id_a"], pairs["id_b"]):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            clustered[max(ra, rb)] = min(ra, rb)
+    clustered = union_find_roots(pairs["id_a"], pairs["id_b"])
     members = sorted(clustered)
     if not members:
         return frozenset()
@@ -572,7 +564,7 @@ def image_dedup_drop_set(sf_dir: str, max_hamming: int = 12,
     meta = _read_images(["image_id", "w", "h"], src).map_batches(
         member_meta, batch_format="pyarrow", runtime_env=_RENV, batch_size=8192
     ).to_pandas()  # O(clustered ids) — tiny by LSH construction
-    meta["root"] = meta["image_id"].map({m: find(m) for m in members})
+    meta["root"] = meta["image_id"].map(clustered)  # collapsed root map
     meta["res"] = meta["w"].astype(np.int64) * meta["h"].astype(np.int64)
     meta = meta.sort_values(["root", "res", "image_id"],
                             ascending=[True, False, True])

@@ -841,6 +841,26 @@ def sample_stratified(sf_dir: str, pct: int = 20) -> rd.Dataset:
                           batch_size=8192)
 
 
+def pack_greedy(n_tok: np.ndarray, budget: int) -> tuple[np.ndarray, np.ndarray]:
+    """THE packing rule, shared by pack_sequences and the curated
+    shard export (ops/curate.py) so the two can't drift (r5 review):
+    greedy fill, docs never split, a doc over budget gets its own
+    pack. Returns (pack_local, pack_pos) int64 arrays. Sequential by
+    definition; bounded by one group's rows."""
+    pack_local = np.empty(len(n_tok), dtype=np.int64)
+    pack_pos = np.empty(len(n_tok), dtype=np.int64)
+    cur, fill, pos = 0, 0, 0
+    for i, t in enumerate(n_tok):
+        if fill > 0 and fill + t > budget:
+            cur += 1
+            fill, pos = 0, 0
+        pack_local[i] = cur
+        pack_pos[i] = pos
+        fill += t
+        pos += 1
+    return pack_local, pack_pos
+
+
 def pack_sequences(sf_dir: str, budget: int = 512,
                    range_size: int = 1024) -> rd.Dataset:
     """Greedy sequence packing for LLM pre-training batches: walk
@@ -873,19 +893,7 @@ def pack_sequences(sf_dir: str, budget: int = 512,
     def pack_range(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("doc_id", kind="mergesort")
         rng = int(g["range_id"].iloc[0])
-        toks = g["n_tokens"].to_numpy()
-        pack_local = np.empty(len(g), dtype=np.int64)
-        pack_pos = np.empty(len(g), dtype=np.int64)
-        cur, fill, pos = 0, 0, 0
-        for i, t in enumerate(toks):  # sequential by definition;
-            # bounded by range_size rows per group
-            if fill > 0 and fill + t > budget:
-                cur += 1
-                fill, pos = 0, 0
-            pack_local[i] = cur
-            pack_pos[i] = pos
-            fill += t
-            pos += 1
+        pack_local, pack_pos = pack_greedy(g["n_tokens"].to_numpy(), budget)
         out = pd.DataFrame({
             "doc_id": g["doc_id"].astype("int64"),
             "pack_id": (rng << 20) + pack_local,
@@ -934,10 +942,21 @@ def revenue_by_nation(sf_dir: str, broadcast_row_limit: int = 5_000_000) -> pd.D
     def partial(batch: pa.Table) -> pa.Table:
         keys, codes = ray.get(ref)  # zero-copy numpy views of the broadcast
         lk = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        code = codes[np.searchsorted(keys, lk)]  # every l_orderkey exists
+        # clip + equality mask, like every other broadcast semi-join in
+        # this module: an l_orderkey whose order lost its customer in
+        # the inner merge (FK violation in dirty data) must be DROPPED,
+        # not IndexError past the end or silently credit a neighboring
+        # key's nation (r5 review)
+        if len(keys):
+            pos = np.minimum(np.searchsorted(keys, lk), len(keys) - 1)
+            hit = keys[pos] == lk
+        else:
+            pos = np.zeros(0, dtype=np.int64)
+            hit = np.zeros(len(lk), dtype=bool)
+        code = codes[pos[hit]] if len(keys) else np.zeros(0, dtype=np.int64)
         rev = np.floor(
-            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
-            * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)) * 100.0 + 0.5
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[hit]
+            * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)[hit]) * 100.0 + 0.5
         ).astype(np.int64)
         rev_by_code = np.bincount(code, weights=rev, minlength=len(names)).astype(np.int64)
         n_by_code = np.bincount(code, minlength=len(names)).astype(np.int64)

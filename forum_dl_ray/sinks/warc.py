@@ -166,21 +166,11 @@ def _marker(out_dir: str, shard: int) -> str:
     return os.path.join(out_dir, f"shard-{shard:05d}.json")
 
 
-def _finished_shards(out_dir: str, n_shards: int) -> set[int]:
-    done = set()
-    if not os.path.isdir(out_dir):
-        return done
-    for name in os.listdir(out_dir):
-        if name.startswith("shard-") and name.endswith(".json"):
-            with open(os.path.join(out_dir, name)) as f:
-                m = json.load(f)
-            if m.get("n_shards") != n_shards:
-                raise ValueError(
-                    f"{out_dir}/{name} written with n_shards={m.get('n_shards')} "
-                    f"but this run uses {n_shards}; export to a fresh out_dir")
-            if os.path.exists(_shard_file(out_dir, m["shard"])):
-                done.add(m["shard"])
-    return done
+def _finished_shards(out_dir: str, n_shards: int) -> dict[int, dict]:
+    """Finished-shard manifests (shared protocol, ops/_markers.py)."""
+    from ..ops._markers import read_done
+
+    return read_done(out_dir, n_shards, ".warc.gz")
 
 
 def _write_warc_shard(g: pd.DataFrame, *, out_dir: str, pages,
@@ -256,17 +246,23 @@ def warc_export(crawl_dir: str, pages, out_dir: str, *, n_shards: int = 4,
     — O(n_shards) rows, driver-small."""
     from ..ops._md5v import md5_low64
 
+    from ..ops._markers import clear_stale, closeout_empty
+
     date_iso = download_time.replace("+00:00", "Z")
     os.makedirs(out_dir, exist_ok=True)
-    done = _finished_shards(out_dir, n_shards) if resume else set()
+    if resume:
+        done_m = _finished_shards(out_dir, n_shards)
+    else:
+        # fresh run: clear stale shards from a previous (possibly
+        # different-n_shards) export (shared protocol, r5 review)
+        clear_stale(out_dir, ".warc.gz")
+        done_m = {}
+    done = set(done_m)
     if len(done) == n_shards:  # nothing left: skip the pipeline
-        rows = []
-        for s in sorted(done):
-            with open(_marker(out_dir, s)) as f:
-                m = json.load(f)
-            m.pop("n_shards", None)
-            rows.append(m)
-        return pd.DataFrame(rows)
+        rows = [{k: v for k, v in m.items() if k != "n_shards"}
+                for m in done_m.values()]
+        return (pd.DataFrame(rows).sort_values("shard")
+                .reset_index(drop=True))
 
     def assign(batch: pa.Table) -> pa.Table:
         # project HERE (not via a select_columns stage): Filter's
@@ -303,24 +299,18 @@ def warc_export(crawl_dir: str, pages, out_dir: str, *, n_shards: int = 4,
     # would never get a marker — len(done) then never reaches n_shards
     # and every resumed call re-runs the whole read+shuffle to write
     # nothing (r5 review). Close them out with an empty shard file +
-    # marker so resume early-exits and the manifest covers ALL shards.
+    # marker (zero-member .warc.gz parses to no records) so resume
+    # early-exits and the manifest covers ALL shards.
     covered = done | (set(fresh["shard"].astype(int)) if len(fresh) else set())
-    for s in range(n_shards):
-        if s in covered:
-            continue
-        tmp = _shard_file(out_dir, s) + ".tmp"
-        open(tmp, "wb").close()  # zero-member .warc.gz: parses to no records
-        os.replace(tmp, _shard_file(out_dir, s))
-        m = {"shard": s, "n_responses": 0, "n_metadata": 0, "file_bytes": 0}
-        with open(_marker(out_dir, s) + ".tmp", "w") as f:
-            json.dump({**m, "n_shards": n_shards}, f)
-        os.replace(_marker(out_dir, s) + ".tmp", _marker(out_dir, s))
-        rows.append(pd.DataFrame([m]))
-    for s in sorted(done):
-        with open(_marker(out_dir, s)) as f:
-            m = json.load(f)
-        m.pop("n_shards", None)
-        rows.append(pd.DataFrame([m]))
+    zeros = closeout_empty(
+        out_dir, n_shards, covered, ".warc.gz",
+        lambda p: open(p, "wb").close(),
+        lambda s: {"shard": s, "n_responses": 0, "n_metadata": 0,
+                   "file_bytes": 0})
+    rows.extend(pd.DataFrame([m]) for m in zeros)
+    for s, m in sorted(done_m.items()):
+        rows.append(pd.DataFrame(
+            [{k: v for k, v in m.items() if k != "n_shards"}]))
     if not rows:
         return pd.DataFrame(
             columns=["shard", "n_responses", "n_metadata", "file_bytes"])
