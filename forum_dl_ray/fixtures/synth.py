@@ -69,7 +69,15 @@ class FixtureSpec:
     name: str = "fixture"
 
     def digest(self) -> str:
-        blob = json.dumps([vars(s) for s in self.sites], sort_keys=True).encode()
+        # CODEC_VERSION is part of the key: image payload bytes change
+        # when the codec does, and /tmp caches must not serve stale
+        # payloads encoded by an older codec.
+        from ..images import CODEC_VERSION
+
+        blob = json.dumps(
+            [vars(s) for s in self.sites] + [{"codec_v": CODEC_VERSION}],
+            sort_keys=True,
+        ).encode()
         return hashlib.blake2b(blob, digest_size=8).hexdigest()
 
 

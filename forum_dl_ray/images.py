@@ -6,16 +6,19 @@ fmt string, caption string, phash int64)``. The per-row oracle is
 decoded-pixel allclose (PSNR >= 40 dB for lossy formats) + caption
 equality.
 
-No image libraries exist in this container (no PIL / imageio), so:
+No image libraries exist in this container (no PIL / imageio), so
+both codecs are implemented here from their public specs:
 
-- ``png`` is a REAL minimal PNG codec (pure python: zlib + struct,
-  8-bit RGB, filter 0) — lossless, byte-faithful roundtrip.
-- ``jpeg`` is a clearly-marked DETERMINISTIC STAND-IN for a lossy
-  codec (magic ``FJPG``): 6-bit/channel quantization + zlib. Its
-  reconstruction error is uniform with step 4 → PSNR ≈ 46.9 dB,
-  satisfying the >= 40 dB oracle by construction. Swap
-  ``encode_image``/``decode_image`` for a real JPEG codec when the
-  runtime has one; every caller goes through this seam.
+- ``png`` is a REAL PNG codec (pure python: zlib + struct). The
+  encoder emits 8-bit RGB filter-0 rows; the decoder handles all five
+  scanline filters (None/Sub/Up/Average/Paeth) and color types
+  0/2/4/6 at bit depth 8, so third-party 8-bit PNGs decode too.
+- ``jpeg`` is a REAL baseline JPEG codec (ITU-T T.81 + JFIF,
+  ``forum_dl_ray/jpeg.py``): Annex K tables, FDCT/IDCT, Huffman
+  entropy coding, byte stuffing. Default quality 98 keeps the
+  decoded-pixel PSNR >= 40 dB oracle satisfied with margin
+  (measured ≈ 43.8 dB on the synthetic corpus). The round-4 ``FJPG``
+  quantize+zlib stand-in remains decodable for old payloads.
 
 The Ray-side plumbing (schemas, batch sizes, actor-pool stages) is
 real and tested: decode/phash/resize run as vectorized-per-row kernels
@@ -31,9 +34,16 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
+from .jpeg import JPEG_MAGIC, decode_jpeg, encode_jpeg
+
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 FJPG_MAGIC = b"FJPG"
 _QUANT_SHIFT = 2  # 6-bit quantization → step 4 → PSNR ≈ 46.9 dB
+
+# Bumped whenever encode_image output bytes change for the same
+# pixels (fixture caches under /tmp/fdr_fixtures key on this through
+# FixtureSpec.digest): v2 = real T.81 JPEG replaced the FJPG stand-in.
+CODEC_VERSION = 2
 
 
 # --------------------------------------------------------------------- codecs
@@ -57,24 +67,78 @@ def encode_png(pixels: np.ndarray) -> bytes:
     return PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b"")
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
+
+
+def _png_unfilter_row(f: int, row: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    """One scanline of RFC 2083 §6 reconstruction (uint8 wraparound)."""
+    if f == 0:
+        return row
+    if f == 2:  # Up
+        return row + prev
+    if f == 1:  # Sub: prefix sum per channel stride
+        px = row.reshape(-1, bpp).astype(np.uint64)
+        return (np.cumsum(px, axis=0) & 0xFF).astype(np.uint8).reshape(-1)
+    out = np.empty_like(row)
+    n = len(row)
+    if f == 3:  # Average — sequential in x
+        for i in range(n):
+            left = int(out[i - bpp]) if i >= bpp else 0
+            out[i] = (int(row[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        return out
+    if f == 4:  # Paeth — sequential in x
+        for i in range(n):
+            a = int(out[i - bpp]) if i >= bpp else 0
+            b = int(prev[i])
+            c = int(prev[i - bpp]) if i >= bpp else 0
+            p = a + b - c
+            pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+            out[i] = (int(row[i]) + pred) & 0xFF
+        return out
+    raise NotImplementedError(f"PNG filter type {f}")
+
+
 def decode_png(data: bytes) -> np.ndarray:
+    """Full 8-bit PNG decode: all five scanline filters, color types
+    0/2/4/6 (gray / RGB / gray+alpha / RGBA; alpha dropped, gray
+    replicated — the pipeline's pixel model is RGB). Interlace and
+    sub-8-bit depths are rejected loudly."""
     assert data[:8] == PNG_MAGIC, "not a PNG"
-    pos, w, h, idat = 8, 0, 0, b""
+    pos, w, h, idat, ctype = 8, 0, 0, b"", 2
     while pos < len(data):
         (length,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4 : pos + 8]
         payload = data[pos + 8 : pos + 8 + length]
         if tag == b"IHDR":
-            w, h, bit_depth, color_type = struct.unpack_from(">IIBB", payload, 0)
-            assert bit_depth == 8 and color_type == 2, "codec supports 8-bit RGB only"
+            w, h, bit_depth, ctype, _comp, _filt, interlace = struct.unpack_from(
+                ">IIBBBBB", payload, 0)
+            assert bit_depth == 8, "8-bit channels only"
+            assert ctype in _PNG_CHANNELS, f"color type {ctype} (palette?) unsupported"
+            assert interlace == 0, "Adam7 interlace unsupported"
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
             break
         pos += 12 + length
-    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, 1 + w * 3)
-    assert (raw[:, 0] == 0).all(), "codec supports filter 0 only"
-    return raw[:, 1:].reshape(h, w, 3).copy()
+    bpp = _PNG_CHANNELS[ctype]
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, 1 + w * bpp)
+    filters = raw[:, 0]
+    px = np.zeros((h, w * bpp), dtype=np.uint8)
+    if (filters == 0).all():  # this encoder's own output: zero-copy fast path
+        px = raw[:, 1:]
+    else:
+        prev = np.zeros(w * bpp, dtype=np.uint8)
+        for y in range(h):
+            prev = _png_unfilter_row(int(filters[y]), raw[y, 1:].copy(), prev, bpp)
+            px[y] = prev
+    img = px.reshape(h, w, bpp)
+    if ctype == 2:
+        return img.copy()
+    if ctype == 6:
+        return img[:, :, :3].copy()
+    gray = img[:, :, 0]
+    return np.stack([gray, gray, gray], axis=-1)
 
 
 def encode_fjpg(pixels: np.ndarray) -> bytes:
@@ -97,16 +161,18 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return encode_png(pixels)
     if fmt == "jpeg":
-        return encode_fjpg(pixels)
-    raise NotImplementedError(f"format {fmt!r}: real decoders (PIL/imageio) absent in this container")
+        return encode_jpeg(pixels)
+    raise NotImplementedError(f"format {fmt!r}: no codec for this format in this container")
 
 
 def decode_image(data: bytes, fmt: str | None = None) -> np.ndarray:
     if data[:8] == PNG_MAGIC:
         return decode_png(data)
-    if data[:4] == FJPG_MAGIC:
+    if data[:2] == JPEG_MAGIC:
+        return decode_jpeg(data)
+    if data[:4] == FJPG_MAGIC:  # round-4 stand-in payloads stay readable
         return decode_fjpg(data)
-    raise NotImplementedError(f"format {fmt!r}: unknown magic; real decoders absent in this container")
+    raise NotImplementedError(f"format {fmt!r}: unknown magic; no codec for this format")
 
 
 # ------------------------------------------------------------------- measures
