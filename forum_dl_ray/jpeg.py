@@ -207,10 +207,17 @@ class _BitWriter:
                 self.buf.append(0x00)
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def pad_to_byte(self) -> None:
         if self.nbits:
             pad = 8 - self.nbits
             self.put((1 << pad) - 1, pad)  # 1-fill per F.1.2.3
+
+    def raw_marker(self, m: int) -> None:
+        """Append a marker (never byte-stuffed). Call pad_to_byte first."""
+        self.buf += bytes((0xFF, m))
+
+    def flush(self) -> bytes:
+        self.pad_to_byte()
         return bytes(self.buf)
 
 
@@ -219,8 +226,14 @@ def _category(v: int) -> int:
 
 
 # ------------------------------------------------------------------ encoder
-def encode_jpeg(pixels: np.ndarray, quality: int = 98) -> bytes:
-    """Encode 8-bit RGB (h, w, 3) → baseline JFIF bytes (4:4:4)."""
+def encode_jpeg(pixels: np.ndarray, quality: int = 98,
+                restart_interval: int = 0) -> bytes:
+    """Encode 8-bit RGB (h, w, 3) → baseline JFIF bytes (4:4:4).
+
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers
+    every N MCUs (T.81 §B.2.4.4) — the standard mechanism that lets a
+    decoder resynchronize mid-scan (and, at scale, decode segments in
+    parallel)."""
     assert pixels.ndim == 3 and pixels.shape[2] == 3 and pixels.dtype == np.uint8
     h, w = pixels.shape[:2]
     assert 0 < h <= 65535 and 0 < w <= 65535
@@ -246,6 +259,10 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 98) -> bytes:
     pred = [0, 0, 0]
     n_mcu = (ph // 8) * (pw // 8)
     for i in range(n_mcu):
+        if restart_interval and i and i % restart_interval == 0:
+            bw.pad_to_byte()
+            bw.raw_marker(0xD0 + ((i // restart_interval - 1) % 8))
+            pred = [0, 0, 0]
         for c in range(3):
             t = 0 if c == 0 else 1
             dc_tbl, ac_tbl = _ENC_DC[t], _ENC_AC[t]
@@ -295,6 +312,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 98) -> bytes:
     ):
         out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), (cls << 4) | tid)
         out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 12, 3)
     for cid, tbl in ((1, 0x00), (2, 0x11), (3, 0x11)):
         out += struct.pack("BB", cid, tbl)
@@ -330,50 +349,6 @@ def _decode_lut_cached(bits: tuple, vals: tuple) -> tuple[np.ndarray, np.ndarray
     if key not in _DEC_LUT_CACHE:
         _DEC_LUT_CACHE[key] = _decode_lut(list(bits), list(vals))
     return _DEC_LUT_CACHE[key]
-
-
-class _BitReader:
-    """MSB-first reader over a destuffed entropy segment."""
-
-    __slots__ = ("data", "pos", "acc", "nbits")
-
-    def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def _fill(self, need: int) -> None:
-        while self.nbits < need:
-            b = self.data[self.pos] if self.pos < len(self.data) else 0
-            self.pos += 1
-            self.acc = ((self.acc << 8) | b) & 0xFFFFFFFF
-            self.nbits += 8
-
-    def peek16(self) -> int:
-        self._fill(16)
-        return (self.acc >> (self.nbits - 16)) & 0xFFFF
-
-    def skip(self, n: int) -> None:
-        self._fill(n)
-        self.nbits -= n
-        self.acc &= (1 << self.nbits) - 1
-
-    def receive(self, n: int) -> int:
-        if n == 0:
-            return 0
-        self._fill(n)
-        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
-        self.nbits -= n
-        self.acc &= (1 << self.nbits) - 1
-        return v
-
-
-def _extend(v: int, cat: int) -> int:
-    """T.81 F.2.2.1 EXTEND: map received bits to signed value."""
-    if cat == 0:
-        return 0
-    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
@@ -445,62 +420,107 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     assert nc in (1, 3), f"{nc}-component scans unsupported"
 
     # Destuff entropy data up to the next real marker (handling RSTn).
-    raw = bytearray()
-    rst_positions = []  # index in `raw` where a restart occurred
-    p = scan_start
-    n = len(data)
-    while p < n:
-        b = data[p]
-        if b != 0xFF:
-            raw.append(b)
-            p += 1
-            continue
-        nxt = data[p + 1] if p + 1 < n else 0xD9
-        if nxt == 0x00:
-            raw.append(0xFF)
-            p += 2
-        elif 0xD0 <= nxt <= 0xD7:
-            rst_positions.append(len(raw))
-            p += 2
-        else:
-            break  # EOI or other marker ends the scan
+    # Fast path (the common case — this encoder never emits RSTn):
+    # find the scan end vectorized, then one C-level bytes.replace.
+    arr = np.frombuffer(data, dtype=np.uint8, offset=scan_start)
+    ff = np.nonzero(arr[:-1] == 0xFF)[0]
+    nxt_b = arr[ff + 1]
+    is_stuff = nxt_b == 0x00
+    is_rst = (nxt_b >= 0xD0) & (nxt_b <= 0xD7)
+    real = ff[~(is_stuff | is_rst)]
+    end = int(real[0]) if len(real) else len(arr)
+    rst_positions: list[int] = []
+    if not is_rst[ff < end].any():
+        raw = data[scan_start : scan_start + end].replace(b"\xff\x00", b"\xff")
+    else:
+        # slow path: per-byte walk that records restart offsets in
+        # destuffed coordinates
+        buf = bytearray()
+        p = scan_start
+        n = len(data)
+        while p < n:
+            b = data[p]
+            if b != 0xFF:
+                buf.append(b)
+                p += 1
+                continue
+            nxt = data[p + 1] if p + 1 < n else 0xD9
+            if nxt == 0x00:
+                buf.append(0xFF)
+                p += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                rst_positions.append(len(buf))
+                p += 2
+            else:
+                break  # EOI or other marker ends the scan
+        raw = bytes(buf)
 
-    br = _BitReader(bytes(raw))
     mcu_w, mcu_h = -(-w // 8), -(-h // 8)
     n_mcu = mcu_w * mcu_h
+    # scan decode: inlined MSB-first bit reader over destuffed bytes
+    # with Huffman LUTs as `bytes` (fastest random indexing CPython
+    # offers) — 2-3x the method-call _BitReader formulation, which
+    # matters because this loop runs per coefficient inside the
+    # curation chain's ImageDecodeStage actors.
+    data_b = bytes(raw)
+    nbytes = len(data_b)
+    comp_tabs = []
+    for c in range(nc):
+        _, dc_tid, ac_tid = scan_comps[c]
+        dlen, dval = htabs[0x00 | dc_tid]
+        alen, aval = htabs[0x10 | ac_tid]
+        comp_tabs.append((dlen.tobytes(), dval.tobytes(), alen.tobytes(), aval.tobytes()))
     planes = [np.zeros((n_mcu, 64), dtype=np.int32) for _ in range(nc)]
     pred = [0] * nc
     rst_iter = iter(rst_positions)
     next_rst = next(rst_iter, None)
+    acc = 0
+    nbits = 0
+    pos = 0
 
     for i in range(n_mcu):
         if restart_interval and i and i % restart_interval == 0:
             # byte-align and reset DC prediction at each restart
-            br.acc, br.nbits = 0, 0
+            acc, nbits = 0, 0
             if next_rst is not None:
-                br.pos = next_rst
+                pos = next_rst
                 next_rst = next(rst_iter, None)
             pred = [0] * nc
         for c in range(nc):
-            _, dc_tid, ac_tid = scan_comps[c]
-            dlen, dval = htabs[0x00 | dc_tid]
-            alen, aval = htabs[0x10 | ac_tid]
-            peek = br.peek16()
-            ln = int(dlen[peek])
+            dlen, dval, alen, aval = comp_tabs[c]
+            while nbits < 16:
+                acc = ((acc << 8) | (data_b[pos] if pos < nbytes else 0)) & 0xFFFFFFFF
+                pos += 1
+                nbits += 8
+            peek = (acc >> (nbits - 16)) & 0xFFFF
+            ln = dlen[peek]
             assert ln, "invalid DC Huffman code"
-            cat = int(dval[peek])
-            br.skip(ln)
-            diff = _extend(br.receive(cat), cat)
-            pred[c] += diff
-            blk = planes[c][i]
+            cat = dval[peek]
+            nbits -= ln
+            acc &= (1 << nbits) - 1
+            if cat:
+                while nbits < cat:
+                    acc = ((acc << 8) | (data_b[pos] if pos < nbytes else 0)) & 0xFFFFFFFF
+                    pos += 1
+                    nbits += 8
+                v = (acc >> (nbits - cat)) & ((1 << cat) - 1)
+                nbits -= cat
+                acc &= (1 << nbits) - 1
+                pred[c] += v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+            blk = [0] * 64  # python-int staging row (faster than ndarray scatter)
             blk[0] = pred[c]
             k = 1
             while k < 64:
-                peek = br.peek16()
-                ln = int(alen[peek])
+                while nbits < 16:
+                    acc = ((acc << 8) | (data_b[pos] if pos < nbytes else 0)) & 0xFFFFFFFF
+                    pos += 1
+                    nbits += 8
+                peek = (acc >> (nbits - 16)) & 0xFFFF
+                ln = alen[peek]
                 assert ln, "invalid AC Huffman code"
-                rs = int(aval[peek])
-                br.skip(ln)
+                rs = aval[peek]
+                nbits -= ln
+                acc &= (1 << nbits) - 1
                 if rs == 0x00:  # EOB
                     break
                 if rs == 0xF0:  # ZRL
@@ -509,8 +529,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 k += rs >> 4
                 cat = rs & 0x0F
                 if k < 64:
-                    blk[k] = _extend(br.receive(cat), cat)
+                    while nbits < cat:
+                        acc = ((acc << 8) | (data_b[pos] if pos < nbytes else 0)) & 0xFFFFFFFF
+                        pos += 1
+                        nbits += 8
+                    v = (acc >> (nbits - cat)) & ((1 << cat) - 1)
+                    nbits -= cat
+                    acc &= (1 << nbits) - 1
+                    blk[k] = v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
                 k += 1
+            planes[c][i] = blk
 
     m = _dct8()
     ph, pw = mcu_h * 8, mcu_w * 8

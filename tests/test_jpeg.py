@@ -134,3 +134,15 @@ def test_decode_skips_app_and_com_segments():
     j = 4 + struct.unpack_from(">H", data, 4)[0]  # end of APP0
     spliced = data[:j] + app1 + com + data[j:]
     assert psnr(px, decode_jpeg(spliced)) >= 40.0
+
+
+@pytest.mark.parametrize("interval", [1, 3, 7])
+def test_restart_markers_roundtrip(interval):
+    """DRI + RSTn emission (T.81 B.2.4.4) must decode to EXACTLY the
+    same pixels as the plain stream — restart changes framing, not
+    coefficients. Exercises the decoder's resync/slow-destuff path."""
+    px = synth_pixels(f"jpeg-rst-{interval}", 26, 19)
+    plain = encode_jpeg(px)
+    rst = encode_jpeg(px, restart_interval=interval)
+    assert b"\xff\xdd" in rst and any(bytes([0xFF, 0xD0 + m]) in rst for m in range(8))
+    assert np.array_equal(decode_jpeg(rst), decode_jpeg(plain))
