@@ -351,13 +351,60 @@ def _decode_lut_cached(bits: tuple, vals: tuple) -> tuple[np.ndarray, np.ndarray
     return _DEC_LUT_CACHE[key]
 
 
+# Combined symbol+value LUTs (libjpeg's "fast path" idea, taken one
+# step further): when a Huffman code AND its appended value bits fit
+# the 16-bit peek window together (ln + cat <= 16 — true for nearly
+# every symbol the Annex K tables produce), the full signed
+# coefficient is a pure function of the peek, so one lookup replaces
+# the two-stage decode.  step=0 marks the rare slow-path entries
+# (ln + cat > 16, or an invalid code).
+#   AC `run` encoding: 0..15 = zero run before the coefficient,
+#   16 = ZRL, 255 = EOB.
+_COMB_LUT_CACHE: dict[tuple, tuple[bytes, bytes, list[int]]] = {}
+
+
+def _combined_lut(bits: tuple, vals: tuple, is_ac: bool) -> tuple[bytes, bytes, list[int]]:
+    key = (bits, vals, is_ac)
+    hit = _COMB_LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    ln_lut, val_lut = _decode_lut_cached(bits, vals)
+    ln = ln_lut.astype(np.int32)
+    sym = val_lut.astype(np.int32)
+    peek = np.arange(1 << 16, dtype=np.int32)
+    if is_ac:
+        run = sym >> 4
+        cat = sym & 0x0F
+    else:
+        run = np.zeros_like(sym)
+        cat = sym
+    total = ln + cat
+    fits = (ln > 0) & (total <= 16)
+    # value bits immediately follow the code inside the same window
+    raw = (peek >> np.maximum(16 - total, 0)) & ((1 << cat) - 1)
+    coef = np.where(raw >= (1 << np.maximum(cat - 1, 0)),
+                    raw, raw - (1 << cat) + 1)
+    coef = np.where(cat == 0, 0, coef)
+    step = np.where(fits, total, 0)
+    run_out = run.copy()
+    if is_ac:
+        zero_cat = fits & (cat == 0)
+        run_out = np.where(zero_cat & (sym == 0xF0), 16, run_out)
+        run_out = np.where(zero_cat & (sym == 0x00), 255, run_out)
+    out = (step.astype(np.uint8).tobytes(),
+           run_out.astype(np.uint8).tobytes(),
+           coef.astype(np.int32).tolist())
+    _COMB_LUT_CACHE[key] = out
+    return out
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode baseline JFIF (8-bit, 1 or 3 components, no chroma
     subsampling) → (h, w, 3) uint8 RGB. Restart markers honored."""
     assert data[:2] == JPEG_MAGIC, "not a JPEG (no SOI)"
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
-    htabs: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    htabs: dict[int, tuple[tuple, tuple]] = {}  # tid -> (bits, vals)
     restart_interval = 0
     h = w = 0
     comps: list[tuple[int, int, int]] = []  # (cid, sampling, qid)
@@ -402,7 +449,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = tuple(seg[p + 1 : p + 17])
                 nv = sum(bits)
                 vals = tuple(seg[p + 17 : p + 17 + nv])
-                htabs[tc_th] = _decode_lut_cached(bits, vals)
+                htabs[tc_th] = (bits, vals)
                 p += 17 + nv
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
@@ -457,87 +504,113 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
     mcu_w, mcu_h = -(-w // 8), -(-h // 8)
     n_mcu = mcu_w * mcu_h
-    # scan decode: inlined MSB-first bit reader over destuffed bytes
-    # with Huffman LUTs as `bytes` (fastest random indexing CPython
-    # offers) — 2-3x the method-call _BitReader formulation, which
-    # matters because this loop runs per coefficient inside the
-    # curation chain's ImageDecodeStage actors.
-    data_b = bytes(raw)
-    nbytes = len(data_b)
+    # scan decode: left-aligned 64-bit bit buffer (valid bits live at
+    # the TOP, so a peek is one shift and stale low bits never leak
+    # into it), 4-byte refills, and combined symbol+value LUTs — one
+    # lookup yields the signed coefficient for nearly every symbol.
+    # This loop runs per coefficient inside the curation chain's
+    # ImageDecodeStage actors and the crawl/steady asset stage, so
+    # constant-factor CPython work here is throughput.
+    data_b = bytes(raw) + b"\x00" * 8  # refill slices never run short
     comp_tabs = []
     for c in range(nc):
         _, dc_tid, ac_tid = scan_comps[c]
-        dlen, dval = htabs[0x00 | dc_tid]
-        alen, aval = htabs[0x10 | ac_tid]
-        comp_tabs.append((dlen.tobytes(), dval.tobytes(), alen.tobytes(), aval.tobytes()))
+        d_bits, d_vals = htabs[0x00 | dc_tid]
+        a_bits, a_vals = htabs[0x10 | ac_tid]
+        dstep, _drun, dcoef = _combined_lut(d_bits, d_vals, is_ac=False)
+        astep, arun, acoef = _combined_lut(a_bits, a_vals, is_ac=True)
+        dlen, dval = _decode_lut_cached(d_bits, d_vals)
+        alen, aval = _decode_lut_cached(a_bits, a_vals)
+        comp_tabs.append((dstep, dcoef, astep, arun, acoef,
+                          dlen.tobytes(), dval.tobytes(),
+                          alen.tobytes(), aval.tobytes()))
     planes = [np.zeros((n_mcu, 64), dtype=np.int32) for _ in range(nc)]
     pred = [0] * nc
     rst_iter = iter(rst_positions)
     next_rst = next(rst_iter, None)
-    acc = 0
+    M64 = (1 << 64) - 1
+    ifb = int.from_bytes
+    buf = 0  # valid bits occupy [64 - nbits, 64)
     nbits = 0
     pos = 0
 
     for i in range(n_mcu):
         if restart_interval and i and i % restart_interval == 0:
             # byte-align and reset DC prediction at each restart
-            acc, nbits = 0, 0
+            buf, nbits = 0, 0
             if next_rst is not None:
                 pos = next_rst
                 next_rst = next(rst_iter, None)
             pred = [0] * nc
         for c in range(nc):
-            dlen, dval, alen, aval = comp_tabs[c]
-            while nbits < 16:
-                acc = ((acc << 8) | (data_b[pos] if pos < nbytes else 0)) & 0xFFFFFFFF
-                pos += 1
-                nbits += 8
-            peek = (acc >> (nbits - 16)) & 0xFFFF
-            ln = dlen[peek]
-            assert ln, "invalid DC Huffman code"
-            cat = dval[peek]
-            nbits -= ln
-            acc &= (1 << nbits) - 1
-            if cat:
-                while nbits < cat:
-                    acc = ((acc << 8) | (data_b[pos] if pos < nbytes else 0)) & 0xFFFFFFFF
-                    pos += 1
-                    nbits += 8
-                v = (acc >> (nbits - cat)) & ((1 << cat) - 1)
-                nbits -= cat
-                acc &= (1 << nbits) - 1
-                pred[c] += v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+            (dstep, dcoef, astep, arun, acoef,
+             dlen, dval, alen, aval) = comp_tabs[c]
+            if nbits < 16:
+                buf |= ifb(data_b[pos:pos + 4], "big") << (32 - nbits)
+                pos += 4
+                nbits += 32
+            peek = buf >> 48
+            st = dstep[peek]
+            if st:
+                buf = (buf << st) & M64
+                nbits -= st
+                pred[c] += dcoef[peek]
+            else:  # slow path: code+value spill past the 16-bit window
+                ln = dlen[peek]
+                assert ln, "invalid DC Huffman code"
+                cat = dval[peek]
+                buf = (buf << ln) & M64
+                nbits -= ln
+                if cat:
+                    if nbits < cat:
+                        buf |= ifb(data_b[pos:pos + 4], "big") << (32 - nbits)
+                        pos += 4
+                        nbits += 32
+                    v = buf >> (64 - cat)
+                    buf = (buf << cat) & M64
+                    nbits -= cat
+                    pred[c] += v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
             blk = [0] * 64  # python-int staging row (faster than ndarray scatter)
             blk[0] = pred[c]
             k = 1
             while k < 64:
-                while nbits < 16:
-                    acc = ((acc << 8) | (data_b[pos] if pos < nbytes else 0)) & 0xFFFFFFFF
-                    pos += 1
-                    nbits += 8
-                peek = (acc >> (nbits - 16)) & 0xFFFF
-                ln = alen[peek]
-                assert ln, "invalid AC Huffman code"
-                rs = aval[peek]
-                nbits -= ln
-                acc &= (1 << nbits) - 1
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += rs >> 4
-                cat = rs & 0x0F
-                if k < 64:
-                    while nbits < cat:
-                        acc = ((acc << 8) | (data_b[pos] if pos < nbytes else 0)) & 0xFFFFFFFF
-                        pos += 1
-                        nbits += 8
-                    v = (acc >> (nbits - cat)) & ((1 << cat) - 1)
-                    nbits -= cat
-                    acc &= (1 << nbits) - 1
-                    blk[k] = v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
-                k += 1
+                if nbits < 16:
+                    buf |= ifb(data_b[pos:pos + 4], "big") << (32 - nbits)
+                    pos += 4
+                    nbits += 32
+                peek = buf >> 48
+                st = astep[peek]
+                if st:
+                    buf = (buf << st) & M64
+                    nbits -= st
+                    run = arun[peek]
+                    if run < 16:
+                        k += run
+                        if k < 64:
+                            blk[k] = acoef[peek]
+                        k += 1
+                    elif run == 16:  # ZRL
+                        k += 16
+                    else:  # EOB
+                        break
+                else:
+                    ln = alen[peek]
+                    assert ln, "invalid AC Huffman code"
+                    rs = aval[peek]
+                    buf = (buf << ln) & M64
+                    nbits -= ln
+                    k += rs >> 4
+                    cat = rs & 0x0F
+                    if cat and k < 64:
+                        if nbits < cat:
+                            buf |= ifb(data_b[pos:pos + 4], "big") << (32 - nbits)
+                            pos += 4
+                            nbits += 32
+                        v = buf >> (64 - cat)
+                        buf = (buf << cat) & M64
+                        nbits -= cat
+                        blk[k] = v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+                    k += 1
             planes[c][i] = blk
 
     m = _dct8()
