@@ -318,9 +318,12 @@ def oracle_sql() -> dict[str, str]:
     # the image payload fixture is deterministic (seeded, digest-cached);
     # DuckDB reads the same parquet the Ray pipelines decode, asserting
     # every decode/dims/phash invariant came back TRUE
+    from forum_dl_ray.fixtures.media import audio_table_path, video_table_path
     from forum_dl_ray.ops.images_ops import images_table_path
 
     img_pq = images_table_path()
+    audio_pq = audio_table_path()
+    video_pq = video_table_path()
     return {
         "image_decode_stats": f"""
             SELECT image_id, w, h, fmt, caption,
@@ -331,28 +334,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT image_id, fmt, TRUE AS passes
             FROM read_parquet('{img_pq}')
         """,
-        # the audio family's cross-kernel invariants (decode stats vs
-        # window framing) must all come back TRUE per payload row
+        # the audio family's cross-kernel invariants over REAL WAV
+        # payloads (real RIFF parse vs window framing vs the table's
+        # independent n_samples/rate metadata) must all be TRUE
         "audio_decode_stats": f"""
-            SELECT image_id AS media_id, TRUE AS decode_ok,
+            SELECT media_id, TRUE AS decode_ok,
                    TRUE AS duration_ok, TRUE AS windows_ok,
-                   TRUE AS energy_ok, TRUE AS stats_ok
-            FROM read_parquet('{img_pq}')
+                   TRUE AS energy_ok, TRUE AS stats_ok, TRUE AS meta_ok
+            FROM read_parquet('{audio_pq}')
         """,
-        # the video sampler's plan (frame count, timestamps, target
-        # dims) is a pure function of octet_length(bytes) — fully
-        # SQL-reproducible even though the pixel decode is a stub
+        # the video sampler REALLY demuxes RIFF AVI and JPEG-decodes
+        # every frame; the stage asserts the decoded stream against
+        # the table's independent n_frames/w/h metadata in-query, and
+        # the emitted rows (indices, container-rate timestamps, dims)
+        # are exactly reproducible from those metadata columns — so
+        # this SQL pins the demux+decode without re-decoding
         "video_frame_sample": f"""
             WITH f AS (
-                SELECT image_id,
-                       unnest(generate_series(0, octet_length(bytes) % 4)) AS i
-                FROM read_parquet('{img_pq}')
+                SELECT media_id, fps, w, h,
+                       unnest(generate_series(0, n_frames - 1)) AS i
+                FROM read_parquet('{video_pq}')
             )
-            SELECT image_id AS media_id,
+            SELECT media_id,
                    CAST(i AS INTEGER) AS frame_idx,
-                   CAST(i * 500 AS BIGINT) AS ts_ms,
-                   CAST(16 AS INTEGER) AS w,
-                   CAST(16 AS INTEGER) AS h
+                   CAST(i * 1000 // fps AS BIGINT) AS ts_ms,
+                   w, h
             FROM f ORDER BY 1, 2
         """,
         "simhash_dedup_pairs": _simhash_pairs_sql(),

@@ -2,19 +2,19 @@
 image/audio/video opaque-binary family (SURVEY.md §2 training-data
 ops; same contract as ops/images_ops.py).
 
-Audio is treated as an opaque ``binary`` column with typed metadata.
-No audio codec exists in this container, so the PCM decode is a
-CLEARLY-MARKED DETERMINISTIC FAKE (`_fake_pcm`): samples derive from
-the payload bytes only, byte-identical across runs and processes.
-Everything around it is the real scale plumbing a soundfile/ffmpeg
-decoder would need — actor-pool stage with per-actor setup, SMALL
-batches for wide binary rows, vectorized numpy window kernels, integer
-fixed-point outputs (driver value-hash robustness) — so a real
-``decode_pcm()`` drops in behind the same signature.
+Audio is an opaque ``binary`` column with typed metadata columns
+(n_samples/rate/channels). The payload table
+(`fixtures/media.py audio_table_path`) holds REAL RIFF/WAVE PCM files
+and ``decode_pcm`` parses them with the real pure-numpy WAV decoder
+(`riffav.decode_wav`) — container chunk walk, fmt/data parsing, 8/16
+bit, multi-channel. The pre-round-5 deterministic fake (`_fake_pcm`)
+remains only as the documented fallback for bytes that aren't a RIFF
+container (e.g. driving these stages over the crawl image table),
+so the plumbing stays total over arbitrary binary.
 
-The input table is the same deterministic media payload parquet the
-video sampler uses (opaque (id, bytes) shape per BASELINE.json's
-input_hint).
+Scale plumbing is unchanged: actor-pool stages with per-actor setup,
+SMALL batches for wide binary rows, vectorized numpy window kernels,
+integer fixed-point outputs (driver value-hash robustness).
 """
 
 from __future__ import annotations
@@ -30,19 +30,20 @@ import ray.data as rd
 from forum_dl_ray import STAGE_RUNTIME_ENV as _RENV
 
 from ._io import read_parquet_clean
-from .images_ops import images_table_path
 
 # wide binary rows -> small batches (SURVEY.md §7.4)
 _AUD_BATCH = 128
-_RATE = 8000  # fake decoder's fixed sample rate
+_RATE = 8000  # the media table's fixed sample rate (asserted by meta_ok)
 
 
 def _read_media(columns=None) -> rd.Dataset:
-    return read_parquet_clean(images_table_path(), columns=columns)
+    from ..fixtures.media import audio_table_path
+
+    return read_parquet_clean(audio_table_path(), columns=columns)
 
 
 def _fake_pcm(media_id: str, raw: bytes, rate: int = _RATE) -> np.ndarray:
-    """STUB (deterministic fake) — replace with a real audio decode.
+    """Deterministic non-RIFF fallback (the pre-round-5 stub decoder).
 
     Emits 0.05–0.8 s of int16 PCM whose length and content derive only
     from (media_id, payload bytes): a seeded PRNG "waveform" plus a
@@ -57,6 +58,22 @@ def _fake_pcm(media_id: str, raw: bytes, rate: int = _RATE) -> np.ndarray:
     return np.clip(noise + tone, -32768, 32767).astype(np.int16)
 
 
+def decode_pcm(media_id: str, raw: bytes, rate: int = _RATE) -> tuple[np.ndarray, int]:
+    """(mono int16 samples, sample_rate). Real WAV parse for RIFF/WAVE
+    payloads (channels folded by mean — the standard mono downmix);
+    the deterministic fallback for anything else."""
+    from ..riffav import decode_wav, sniff
+
+    if sniff(raw) == "wav":
+        pcm, r = decode_wav(raw)
+        if pcm.shape[1] > 1:
+            pcm = pcm.astype(np.int32).mean(axis=1).astype(np.int16)
+        else:
+            pcm = pcm[:, 0]
+        return pcm, r
+    return _fake_pcm(media_id, raw, rate), rate
+
+
 class AudioDecodeStage:
     """Actor-pool decode stage: opaque binary in, per-payload PCM
     stats out. State (rate, clip threshold) set once per actor."""
@@ -66,19 +83,21 @@ class AudioDecodeStage:
         self.clip_level = clip_level
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["image_id"].to_pylist()
+        key = "media_id" if "media_id" in batch.column_names else "image_id"
+        ids = batch[key].to_pylist()
         blobs = batch["bytes"].to_pylist()
         out = {"media_id": [], "n_samples": [], "duration_ms": [],
                "rms_e6": [], "peak": [], "clip_ratio_e6": [], "zcr_e6": []}
         for mid, raw in zip(ids, blobs):
-            pcm = _fake_pcm(mid, raw, self.rate).astype(np.float64)
+            pcm, rate = decode_pcm(mid, raw, self.rate)
+            pcm = pcm.astype(np.float64)
             n = len(pcm)
             rms = float(np.sqrt(np.mean(pcm * pcm))) if n else 0.0
             clip = int(np.count_nonzero(np.abs(pcm) >= self.clip_level))
             zc = int(np.count_nonzero(np.signbit(pcm[1:]) != np.signbit(pcm[:-1])))
             out["media_id"].append(mid)
             out["n_samples"].append(n)
-            out["duration_ms"].append(n * 1000 // self.rate)
+            out["duration_ms"].append(n * 1000 // rate)
             out["rms_e6"].append(int(rms * 1e6) // 1)
             out["peak"].append(int(np.max(np.abs(pcm))) if n else 0)
             out["clip_ratio_e6"].append(clip * 10**6 // max(1, n))
@@ -99,8 +118,8 @@ class AudioDecodeStage:
 def audio_decode_stats(sf_dir: str) -> pd.DataFrame:
     """(media_id, n_samples, duration_ms, rms_e6, peak, clip_ratio_e6,
     zcr_e6) per payload — the audio quality-screen a training pipeline
-    runs before transcription/captioning. Rows-only (stub decoder)."""
-    out = _read_media(["image_id", "bytes"]).map_batches(
+    runs before transcription/captioning. Real WAV decode."""
+    out = _read_media(["media_id", "bytes"]).map_batches(
         AudioDecodeStage, batch_format="pyarrow", batch_size=_AUD_BATCH,
         concurrency=2, runtime_env=_RENV,
     ).to_pandas()
@@ -128,11 +147,13 @@ class AudioWindowStage:
         return pcm[idx]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["image_id"].to_pylist()
+        key = "media_id" if "media_id" in batch.column_names else "image_id"
+        ids = batch[key].to_pylist()
         blobs = batch["bytes"].to_pylist()
         out_id, out_w, out_en, out_zc = [], [], [], []
         for mid, raw in zip(ids, blobs):
-            pcm = _fake_pcm(mid, raw, self.rate).astype(np.float64) / 32768.0
+            pcm, _rate = decode_pcm(mid, raw, self.rate)
+            pcm = pcm.astype(np.float64) / 32768.0
             frames = self.frame(pcm) * self.hann[None, :]
             if not len(frames):
                 continue
@@ -156,7 +177,7 @@ def audio_windows(sf_dir: str) -> pd.DataFrame:
     """Per-window (25 ms / 10 ms hop) energy + zero crossings for every
     payload — one output row per window, streamed; the result here is
     collected only because the query harness compares small frames."""
-    out = _read_media(["image_id", "bytes"]).map_batches(
+    out = _read_media(["media_id", "bytes"]).map_batches(
         AudioWindowStage, batch_format="pyarrow", batch_size=_AUD_BATCH,
         concurrency=2, runtime_env=_RENV,
     ).to_pandas()
@@ -168,10 +189,12 @@ class AudioInvariantStage:
     the REAL window stage (their actual ``__call__``s, not re-derived
     math) on each batch and asserts the invariants that tie them
     together. This is the driver-facing oracle surface for the audio
-    family — the decode itself is a deterministic stub, so the DuckDB
-    oracle can't reproduce the stats, but it CAN pin that every
-    invariant came back TRUE per media row (the image_decode_stats
-    TRUE-column pattern, round-2 verdict Next #3)."""
+    family: the WAV parse is real, and ``meta_ok`` pins the parsed
+    sample count against the table's independent n_samples/rate
+    metadata columns — the DuckDB oracle reproduces every row as TRUE
+    (the image_decode_stats TRUE-column pattern, round-2 verdict
+    Next #3), so a decoder that mis-walks chunks or mis-frames samples
+    fails the value hash."""
 
     def __init__(self, rate: int = _RATE, win_ms: int = 25, hop_ms: int = 10):
         self.decode = AudioDecodeStage(rate=rate)
@@ -200,6 +223,19 @@ class AudioInvariantStage:
             joined["rms_e6"].to_numpy()
             <= joined["peak"].to_numpy().astype(np.int64) * 1_000_000
         ) & (joined["peak"].to_numpy() <= 32767)
+        # real-parse vs metadata: the WAV decoder's sample count must
+        # equal the table's independent n_samples column (and the
+        # container's rate must be the table-wide fixed rate)
+        key = "media_id" if "media_id" in batch.column_names else "image_id"
+        if "n_samples" in batch.column_names:
+            meta = pa.table({"media_id": batch[key],
+                             "meta_n": batch["n_samples"],
+                             "meta_rate": batch["rate"]}).to_pandas()
+            meta = meta.set_index("media_id").reindex(joined.index)
+            meta_ok = (n == meta["meta_n"].to_numpy()) & (
+                meta["meta_rate"].to_numpy() == self.rate)
+        else:  # non-media-table inputs carry no metadata to pin
+            meta_ok = decode_ok
         return pa.table(
             {
                 "media_id": pa.array(joined.index.to_list(), pa.string()),
@@ -208,18 +244,19 @@ class AudioInvariantStage:
                 "windows_ok": pa.array(windows_ok, pa.bool_()),
                 "energy_ok": pa.array(energy_ok, pa.bool_()),
                 "stats_ok": pa.array(stats_ok, pa.bool_()),
+                "meta_ok": pa.array(meta_ok, pa.bool_()),
             }
         )
 
 
 def audio_invariants(sf_dir: str) -> rd.Dataset:
     """(media_id, decode_ok, duration_ok, windows_ok, energy_ok,
-    stats_ok) — the decode+window consistency surface, one row per
-    payload, all-TRUE on a correct decoder. Driver query key
-    ``audio_decode_stats`` (merged coverage of the decode-stats and
-    window ops under the 50-query harness cap); the full stat/window
-    tables remain pytest-covered library ops."""
-    return _read_media(["image_id", "bytes"]).map_batches(
+    stats_ok, meta_ok) — the decode+window consistency surface over
+    REAL WAV payloads, one row per payload, all-TRUE on a correct
+    decoder. Driver query key ``audio_decode_stats`` (merged coverage
+    of the decode-stats and window ops under the 50-query harness
+    cap); the full stat/window tables remain pytest-covered ops."""
+    return _read_media(["media_id", "bytes", "n_samples", "rate"]).map_batches(
         AudioInvariantStage, batch_format="pyarrow", batch_size=_AUD_BATCH,
         concurrency=2, runtime_env=_RENV,
     )

@@ -426,16 +426,20 @@ def image_embeddings(sf_dir: str) -> pd.DataFrame:
 
 
 class VideoFrameSampleStage:
-    """Actor-pool frame-sampling stage for opaque video payloads.
+    """Actor-pool frame-sampling stage for video payloads.
 
-    No video codec exists in this container, so the decode is a
-    CLEARLY-MARKED DETERMINISTIC FAKE (`_fake_decode`): frame count and
-    pixels derive from the payload bytes only. Everything around it is
-    the real scale plumbing a PyAV/ffmpeg decoder would need — opaque
-    `binary` media column in, SMALL batches (wide binary rows), state
-    built once per actor in __init__, one output row per sampled frame
-    with (media_id, frame_idx, ts_ms, w, h, frame PNG) — so a real
-    `decode_frames()` drops in behind the same signature."""
+    Since round 5 the video table (`fixtures/media.py
+    video_table_path`) holds REAL RIFF AVI files with Motion-JPEG
+    streams, and `decode_frames` demuxes them for real
+    (`riffav.decode_avi_mjpeg`: RIFF chunk walk → strh dwScale/dwRate
+    → per-'00dc' baseline-JFIF decode through `jpeg.py`). Frame
+    timestamps come from the container's own rate. The pre-round-5
+    deterministic fake remains only as the documented fallback for
+    bytes that aren't a RIFF AVI (e.g. driving this stage over the
+    crawl image table), so the plumbing stays total over arbitrary
+    binary. Scale contract unchanged: opaque `binary` media column in,
+    SMALL batches (wide binary rows), one output row per frame with
+    (media_id, frame_idx, ts_ms, w, h, frame PNG)."""
 
     def __init__(self, frame_w: int = 16, frame_h: int = 16, max_frames: int = 4,
                  frame_interval_ms: int = 500):
@@ -444,27 +448,43 @@ class VideoFrameSampleStage:
         self.max_frames = max_frames
         self.interval = frame_interval_ms
 
-    def decode_frames(self, media_id: str, raw: bytes) -> list:
-        """STUB (deterministic fake) — replace with a real demux+decode.
-        Emits 1..max_frames synthetic frames keyed by (media_id, idx)."""
-        n = 1 + (len(raw) % self.max_frames)
+    def decode_frames(self, media_id: str, raw: bytes) -> tuple[list, list[int]]:
+        """(frames, per-frame ts_ms). Real demux+decode for RIFF AVI;
+        the deterministic fallback plan for anything else."""
+        from ..riffav import decode_avi_mjpeg, sniff
+
+        if sniff(raw) == "avi":
+            frames, fps = decode_avi_mjpeg(raw)
+            return frames, [i * 1000 // fps for i in range(len(frames))]
         from ..images import synth_pixels
 
-        return [synth_pixels(f"{media_id}-f{i}", self.frame_w, self.frame_h)
-                for i in range(n)]
+        n = 1 + (len(raw) % self.max_frames)
+        frames = [synth_pixels(f"{media_id}-f{i}", self.frame_w, self.frame_h)
+                  for i in range(n)]
+        return frames, [i * self.interval for i in range(n)]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..images import encode_png
 
-        ids = batch["image_id"].to_pylist()
+        key = "media_id" if "media_id" in batch.column_names else "image_id"
+        ids = batch[key].to_pylist()
         blobs = batch["bytes"].to_pylist()
+        metas = (batch.select(["n_frames", "w", "h"]).to_pylist()
+                 if "n_frames" in batch.column_names else [None] * len(ids))
         out = {"media_id": [], "frame_idx": [], "ts_ms": [], "w": [], "h": [],
                "frame_png": []}
-        for mid, raw in zip(ids, blobs):
-            for i, px in enumerate(self.decode_frames(mid, raw)):
+        for mid, raw, meta in zip(ids, blobs, metas):
+            frames, tss = self.decode_frames(mid, raw)
+            if meta is not None:
+                # the decoded stream must agree with the table's typed
+                # metadata — a demuxer that drops frames or mis-reads
+                # dims fails here, in-query (the crawl-hash pattern)
+                assert len(frames) == meta["n_frames"], (mid, len(frames))
+                assert frames[0].shape[:2] == (meta["h"], meta["w"]), mid
+            for i, (px, ts) in enumerate(zip(frames, tss)):
                 out["media_id"].append(mid)
                 out["frame_idx"].append(i)
-                out["ts_ms"].append(i * self.interval)
+                out["ts_ms"].append(ts)
                 out["w"].append(px.shape[1])
                 out["h"].append(px.shape[0])
                 out["frame_png"].append(encode_png(px))
@@ -481,17 +501,22 @@ class VideoFrameSampleStage:
 
 
 def video_frame_sample(sf_dir: str) -> rd.Dataset:
-    """Frame-sampling pipeline over opaque media blobs (the images
-    payload table standing in for a video table — same (id, bytes)
-    shape). Returns (media_id, frame_idx, ts_ms, w, h) as a streaming
-    Dataset; frame PNG bytes stay inside the pipeline (their size is
-    pinned by pytest, not the driver hash). The sampling plan itself
-    — frame count ``1 + len(bytes) % max_frames``, timestamps
-    ``idx * interval``, fixed target dims — is a pure function of the
-    payload length, so the driver's DuckDB oracle reproduces every
-    row from ``octet_length(bytes)`` alone: the sampler logic is
-    oracled even though the pixel decode is a stub."""
-    ds = _read_images(["image_id", "bytes"])
+    """Frame sampling over REAL AVI/MJPEG payloads: every frame of
+    every video, (media_id, frame_idx, ts_ms, w, h) as a streaming
+    Dataset; frame PNG bytes stay inside the pipeline (pixel fidelity
+    is pinned by pytest PSNR, not the driver hash). The stage asserts
+    the decoded stream against the table's independent
+    n_frames/w/h metadata columns in-query, and the emitted plan
+    (indices, container-rate timestamps, dims) is exactly reproducible
+    from those metadata columns — so the driver's DuckDB oracle pins
+    the demux+decode without re-decoding: a demuxer that drops frames,
+    misreads strh rate, or decodes wrong dims mismatches the hash."""
+    from ..fixtures.media import video_table_path
+
+    from ._io import read_parquet_clean
+
+    ds = read_parquet_clean(video_table_path(),
+                            columns=["media_id", "bytes", "n_frames", "w", "h"])
     out = ds.map_batches(
         VideoFrameSampleStage, batch_format="pyarrow", batch_size=64,
         concurrency=2, runtime_env=_RENV,
