@@ -162,6 +162,10 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
         return encode_png(pixels)
     if fmt == "jpeg":
         return encode_jpeg(pixels)
+    if fmt == "gif":
+        from .gif import encode_gif
+
+        return encode_gif(pixels)
     raise NotImplementedError(f"format {fmt!r}: no codec for this format in this container")
 
 
@@ -170,6 +174,10 @@ def decode_image(data: bytes, fmt: str | None = None) -> np.ndarray:
         return decode_png(data)
     if data[:2] == JPEG_MAGIC:
         return decode_jpeg(data)
+    if data[:4] == b"GIF8":
+        from .gif import decode_gif
+
+        return decode_gif(data)
     if data[:4] == FJPG_MAGIC:  # round-4 stand-in payloads stay readable
         return decode_fjpg(data)
     raise NotImplementedError(f"format {fmt!r}: unknown magic; no codec for this format")
