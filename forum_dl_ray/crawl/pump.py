@@ -90,7 +90,8 @@ class PumpActor:
                  rows_per_task: int = 512, max_inflight: int = 8,
                  fetch_assets: bool = True, flaky_rate: float = 0.0,
                  retries: int = 3, start_part: int = 0,
-                 backoff_base: float = 0.0, backoff_multiplier: float = 2.0):
+                 backoff_base: float = 0.0, backoff_multiplier: float = 2.0,
+                 asset_rows_per_task: int | None = None):
         self.pump_id = pump_id
         self.frontier = frontier
         self.my_shards = [frontier.shards[i] for i in my_shard_ids]
@@ -100,6 +101,10 @@ class PumpActor:
         os.makedirs(self.entries_dir, exist_ok=True)
         os.makedirs(self.images_dir, exist_ok=True)
         self.rows_per_task = rows_per_task
+        # asset tasks run the real JPEG/PNG decode (~ms/row) — 4-8x the
+        # per-row cost of a page task — so they slice finer to spread a
+        # poll's decode over the cluster instead of straggling
+        self.asset_rows_per_task = asset_rows_per_task or max(64, rows_per_task // 4)
         self.max_inflight = max_inflight
         self.fetch_assets = fetch_assets
         self.flaky_rate = flaky_rate
@@ -164,12 +169,14 @@ class PumpActor:
                 assets_t = t.filter(is_asset)
                 if not self.fetch_assets:
                     assets_t = assets_t.slice(0, 0)
-                for src, task, root in (
-                    (pages_t, _page_task, self.entries_dir),
-                    (assets_t, _asset_task, self.images_dir),
+                for src, task, root, rpt in (
+                    (pages_t, _page_task, self.entries_dir,
+                     self.rows_per_task),
+                    (assets_t, _asset_task, self.images_dir,
+                     self.asset_rows_per_task),
                 ):
-                    for off in range(0, src.num_rows, self.rows_per_task):
-                        chunk = src.slice(off, self.rows_per_task)
+                    for off in range(0, src.num_rows, rpt):
+                        chunk = src.slice(off, rpt)
                         out_path = os.path.join(root, f"part-{self.part:06d}.parquet")
                         self.part += 1
                         self.inflight.append(
