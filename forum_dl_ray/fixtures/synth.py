@@ -108,6 +108,8 @@ class _SiteBuilder:
         self.post_counter = 0
         self.image_counter = 0
         self.host_tag = spec.host.split(".")[0]
+        # (img_row, page_row, image_id, fmt, w, h) awaiting payload encode
+        self._pending: list[tuple] = []
 
     # ---------------------------------------------------------------- URLs
     def board_url(self, bid: str, page: int) -> str:
@@ -278,25 +280,30 @@ class _SiteBuilder:
             )
 
     def _add_image(self, image_id: str, fmt: str, w: int, h: int, caption: str) -> None:
-        px = synth_pixels(image_id, w, h)
-        data = encode_image(px, fmt)
+        # payload encode is DEFERRED: the real JPEG encoder costs
+        # milliseconds per image, so build() records a placeholder here
+        # and _encode_pending() fills bytes+phash afterwards — in a
+        # process pool for big fixtures (the 1.2M-URL scaling fixture
+        # carries ~200k images; serial encode took tens of minutes)
         self.images.append(
             {
                 "image_id": image_id,
-                "bytes": data,
+                "bytes": b"",
                 "w": w,
                 "h": h,
                 "fmt": fmt,
                 "caption": caption,
-                "phash": phash64(px),
+                "phash": 0,
             }
         )
         self._add_page(
             normalize_url(f"{self.base}/img/{image_id}.{fmt}"),
             "asset",
-            data,
+            b"",
             content_type=f"image/{fmt}",
         )
+        self._pending.append(
+            (len(self.images) - 1, len(self.pages) - 1, image_id, fmt, w, h))
 
     def _add_page(
         self,
@@ -413,10 +420,66 @@ def hash_host(host: str) -> int:
     return int.from_bytes(hashlib.blake2b(host.encode(), digest_size=4).digest(), "little")
 
 
+def _encode_image_payload(args: tuple) -> tuple[bytes, int]:
+    """Pure worker: (image_id, fmt, w, h) → (payload bytes, phash).
+    Module-level so a spawn-based process pool can import it."""
+    image_id, fmt, w, h = args
+    px = synth_pixels(image_id, w, h)
+    return encode_image(px, fmt), phash64(px)
+
+
+def _fill_pending(builder: "_SiteBuilder") -> None:
+    """Encode all deferred payloads, in parallel when it pays.
+
+    Fan-out goes through RAY TASKS, not a multiprocessing pool: every
+    caller that builds a big fixture (bench.py, the scaling subjects)
+    already has a Ray session up, and mp pools are a footgun here —
+    fork can deadlock under Ray's gRPC threads, spawn/forkserver
+    re-import the driver's ``__main__`` (re-running unguarded
+    scripts). Chunk results are order-mapped, so output is
+    byte-identical to the serial path; serial fallback covers no-Ray
+    callers and small fixtures."""
+    pending = builder._pending
+    if not pending:
+        return
+    specs = [(mid, fmt, w, h) for _, _, mid, fmt, w, h in pending]
+    results = None
+    if len(pending) >= 512:
+        try:
+            import ray
+
+            if ray.is_initialized():
+                from forum_dl_ray import STAGE_RUNTIME_ENV
+
+                @ray.remote
+                def _encode_chunk(chunk: list) -> list:
+                    from forum_dl_ray.fixtures.synth import _encode_image_payload
+
+                    return [_encode_image_payload(s) for s in chunk]
+
+                chunks = [specs[i:i + 256] for i in range(0, len(specs), 256)]
+                refs = [
+                    _encode_chunk.options(
+                        runtime_env=STAGE_RUNTIME_ENV).remote(c)
+                    for c in chunks
+                ]
+                results = [r for part in ray.get(refs) for r in part]
+        except Exception:
+            results = None
+    if results is None:
+        results = [_encode_image_payload(s) for s in specs]
+    for (img_i, page_i, *_), (data, ph) in zip(pending, results):
+        builder.images[img_i]["bytes"] = data
+        builder.images[img_i]["phash"] = ph
+        builder.pages[page_i]["body"] = data
+    builder._pending = []
+
+
 def build_site(spec: SiteSpec) -> tuple[list[dict], list[dict]]:
     if spec.engine == "html-generic":
         b = _SiteBuilder(spec)
         b.build()
+        _fill_pending(b)
         return b.pages, b.images
     if spec.engine == "json-stream":
         from .synth_json import build_json_stream_site
