@@ -121,6 +121,31 @@ def test_truncated_stream_tolerated():
         pass  # corrupt-stream rejection is also acceptable
 
 
+def test_asset_stage_ingests_gif_payload():
+    """The crawl's S8 asset kernel (fetched bytes → payload-table row
+    with dims+phash) must handle a .gif URL like any png/jpeg."""
+    import pyarrow as pa
+
+    from forum_dl_ray.crawl.assets import asset_batch
+    from forum_dl_ray.images import phash64
+
+    rng = np.random.default_rng(9)
+    px = _rand_paletted(rng, 21, 34, 12)
+    body = encode_gif(px)
+    batch = pa.table({
+        "url": pa.array(["http://a.test/img/av0001.gif"], pa.string()),
+        "body": pa.array([body], pa.binary()),
+        "status": pa.array([200], pa.int32()),
+        "title": pa.array(["a caption"], pa.string()),
+    })
+    out = asset_batch(batch).to_pylist()
+    assert len(out) == 1
+    row = out[0]
+    assert (row["w"], row["h"], row["fmt"]) == (34, 21, "gif")
+    assert row["phash"] == phash64(px)  # 63 data bits -> int64-safe
+    assert row["bytes"] == body
+
+
 def test_phash_pipeline_handles_gif():
     """The asset-stage contract: dims + phash from any decodable
     payload, GIF included."""
