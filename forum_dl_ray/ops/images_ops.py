@@ -450,12 +450,21 @@ class VideoFrameSampleStage:
 
     def decode_frames(self, media_id: str, raw: bytes) -> tuple[list, list[int]]:
         """(frames, per-frame ts_ms). Real demux+decode for RIFF AVI;
-        the deterministic fallback plan for anything else."""
+        the deterministic fallback plan for anything else — INCLUDING
+        AVI-shaped payloads this decoder can't handle (non-MJPEG
+        streams, corrupt chunks), so the stage stays total over
+        arbitrary binary. Over the metadata-carrying video table a
+        fallback result then fails the n_frames/dims assertions in
+        __call__, so corruption still surfaces in-query."""
         from ..riffav import decode_avi_mjpeg, sniff
 
         if sniff(raw) == "avi":
-            frames, fps = decode_avi_mjpeg(raw)
-            return frames, [i * 1000 // fps for i in range(len(frames))]
+            try:
+                frames, fps = decode_avi_mjpeg(raw)
+            except Exception:
+                frames = None
+            if frames is not None:
+                return frames, [i * 1000 // fps for i in range(len(frames))]
         from ..images import synth_pixels
 
         n = 1 + (len(raw) % self.max_frames)

@@ -103,6 +103,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("WAVE missing fmt/data chunk")
     if tag != 1:
         raise ValueError(f"unsupported WAVE format tag {tag:#x} (PCM only)")
+    if not ch or not rate:
+        raise ValueError(f"corrupt WAVE fmt: channels={ch} rate={rate}")
     if bits == 16:
         flat = np.frombuffer(pcm_bytes[: len(pcm_bytes) // 2 * 2], dtype="<i2")
         samples = flat.astype(np.int16, copy=False)

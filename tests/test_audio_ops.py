@@ -19,9 +19,10 @@ def test_audio_decode_stats_deterministic(ray_session):
     b = audio_ops.audio_decode_stats(SF_DIR)
     assert a.equals(b)
     assert len(a) > 0
-    assert list(a.columns) == ["media_id", "n_samples", "duration_ms", "rms_e6",
-                               "peak", "clip_ratio_e6", "zcr_e6"]
+    assert list(a.columns) == ["media_id", "n_samples", "rate", "duration_ms",
+                               "rms_e6", "peak", "clip_ratio_e6", "zcr_e6"]
     assert (a["n_samples"] > 0).all()
+    assert (a["rate"] == 8000).all()  # the media table's fixed rate
     assert (a["duration_ms"] == a["n_samples"] * 1000 // 8000).all()
     assert a["rms_e6"].nunique() > 1  # stats vary across media
     assert (a["peak"] <= 32768).all()

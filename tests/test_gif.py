@@ -121,6 +121,19 @@ def test_truncated_stream_tolerated():
         pass  # corrupt-stream rejection is also acceptable
 
 
+def test_decode_clips_oversize_frame_rect():
+    """Frames whose descriptor rect runs past the logical screen are
+    clipped (browser behavior), not a numpy broadcast error."""
+    rng = np.random.default_rng(8)
+    px = _rand_paletted(rng, 10, 10, 4)
+    data = bytearray(encode_gif(px))
+    # shrink the logical screen to 6x7 while the frame stays 10x10
+    struct.pack_into("<HH", data, 6, 7, 6)
+    out = decode_gif(bytes(data))
+    assert out.shape == (6, 7, 3)
+    assert np.array_equal(out, px[:6, :7])
+
+
 def test_asset_stage_ingests_gif_payload():
     """The crawl's S8 asset kernel (fetched bytes → payload-table row
     with dims+phash) must handle a .gif URL like any png/jpeg."""

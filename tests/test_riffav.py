@@ -220,6 +220,70 @@ def test_video_stage_raises_on_metadata_mismatch():
         VideoFrameSampleStage()(batch)
 
 
+def test_decode_pcm_total_over_unparseable_wavs():
+    """The stage contract is totality: WAVE-shaped payloads the parser
+    can't handle (float tag, zero channels) fall back to the
+    deterministic fake instead of killing the actor task."""
+    import struct
+
+    from forum_dl_ray.ops.audio_ops import _fake_pcm, decode_pcm
+
+    # IEEE-float WAV (tag 3)
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body = (b"WAVE" + riffav._chunk(b"fmt ", fmt)
+            + riffav._chunk(b"data", b"\x00" * 64))
+    flt = riffav._chunk(b"RIFF", body)
+    pcm, rate = decode_pcm("m1", flt)
+    assert np.array_equal(pcm, _fake_pcm("m1", flt))
+    # zero-channel WAV raises ValueError from the codec...
+    fmt0 = struct.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16)
+    body0 = (b"WAVE" + riffav._chunk(b"fmt ", fmt0)
+             + riffav._chunk(b"data", b"\x00" * 8))
+    bad = riffav._chunk(b"RIFF", body0)
+    with pytest.raises(ValueError):
+        riffav.decode_wav(bad)
+    # ...and decode_pcm still falls back
+    pcm2, _ = decode_pcm("m2", bad)
+    assert np.array_equal(pcm2, _fake_pcm("m2", bad))
+
+
+def test_video_stage_falls_back_on_undecodable_avi():
+    """An AVI container whose stream isn't baseline MJPEG must take
+    the deterministic fallback, not crash the stage."""
+    import pyarrow as pa
+
+    from forum_dl_ray.ops.images_ops import VideoFrameSampleStage
+
+    hdrl = riffav._list(b"hdrl", riffav._chunk(b"avih", b"\x00" * 56))
+    movi = riffav._chunk(b"LIST", b"movi" + riffav._chunk(b"00dc", b"\x00\x01notjpeg"))
+    bad_avi = riffav._chunk(b"RIFF", b"AVI " + hdrl + movi)
+    batch = pa.table({
+        "media_id": pa.array(["m0"], pa.string()),
+        "bytes": pa.array([bad_avi], pa.binary()),
+    })
+    out = VideoFrameSampleStage()(batch).to_pylist()
+    assert len(out) >= 1  # fallback plan rows, stage survived
+
+
+def test_audio_invariants_hold_at_non_fixture_rate():
+    """A 16 kHz WAV is internally consistent: duration_ok must check
+    against the DECODED rate, with the rate pin living in meta_ok."""
+    import pyarrow as pa
+
+    from forum_dl_ray.ops.audio_ops import AudioInvariantStage
+
+    pcm = (np.sin(np.arange(8000) * 0.03) * 15000).astype(np.int16)
+    batch = pa.table({
+        "media_id": pa.array(["hz16"], pa.string()),
+        "bytes": pa.array([riffav.encode_wav(pcm, 16000)], pa.binary()),
+        "n_samples": pa.array([8000], pa.int64()),
+        "rate": pa.array([16000], pa.int32()),
+    })
+    inv = AudioInvariantStage()(batch).to_pandas()
+    assert inv["duration_ok"].all()
+    assert inv["meta_ok"].all()
+
+
 def test_audio_stage_real_wav_and_meta_invariant():
     import pyarrow as pa
 
