@@ -122,7 +122,14 @@ def decode_png(data: bytes) -> np.ndarray:
             break
         pos += 12 + length
     bpp = _PNG_CHANNELS[ctype]
-    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, 1 + w * bpp)
+    try:
+        flat = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    except zlib.error as e:  # truncated/hostile IDAT → the documented error type
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    try:
+        raw = flat.reshape(h, 1 + w * bpp)
+    except ValueError as e:
+        raise ValueError("PNG pixel data does not match IHDR dims") from e
     filters = raw[:, 0]
     px = np.zeros((h, w * bpp), dtype=np.uint8)
     if (filters == 0).all():  # this encoder's own output: zero-copy fast path
